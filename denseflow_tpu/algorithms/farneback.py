@@ -1,0 +1,253 @@
+"""Batched Farneback optical flow (polynomial expansion), TPU-native.
+
+Matches OpenCV's `calcOpticalFlowFarneback` / `cuda::FarnebackOpticalFlow`
+as created by the reference (reference src/denseflow_gpu.cpp:301,329) with
+defaults (SURVEY.md §2.2 N2): numLevels=5, pyrScale=0.5, winSize=13,
+numIters=10, polyN=5, polySigma=1.1, flags=0 (box aggregation).
+
+Per level (coarse→fine): the level image is the *full-resolution* input,
+Gaussian-smoothed with sigma=(1/scale-1)/2 and bilinearly resized to the
+level size. Each pixel's neighborhood is fit with a quadratic polynomial
+f(x) ≈ c + bᵀx + xᵀAx under Gaussian weights (separable least squares);
+displacement follows from the normal equations G d = h built from averaged
+A and the b difference, aggregated over a winSize box.
+
+TPU-first: the polynomial expansion is six separable 1-D convolutions (VPU
+shifted-adds), the normal-equation solve is elementwise, and everything is
+batched over B frame pairs in a single jit region — no per-pair dispatch.
+The only gather is the bilinear resampling of the 5 coefficient planes at
+the displaced positions, once per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denseflow_tpu.ops.filters import conv1d, gaussian_kernel_1d, sep_filter2d
+from denseflow_tpu.ops.resize import resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class FarnebackParams:
+    num_levels: int = 5
+    pyr_scale: float = 0.5
+    win_size: int = 13
+    num_iters: int = 10
+    poly_n: int = 5
+    poly_sigma: float = 1.1
+    min_size: int = 8  # stop adding levels below this side length
+
+
+def _poly_exp_setup(n: int, sigma: float):
+    """Precompute the Gaussian window and the inverse normal matrix for the
+    quadratic fit over basis (1, x, y, x², y², xy)."""
+    xs = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    # separable projection kernels
+    xg = xs * g
+    xxg = xs * xs * g
+    # normal matrix G = sum w(x,y) * basis basis^T, separable moments
+    m0 = g.sum()  # = 1
+    m2 = (xs * xs * g).sum()
+    m4 = (xs ** 4 * g).sum()
+    G = np.zeros((6, 6))
+    G[0, 0] = m0 * m0
+    G[1, 1] = m2 * m0
+    G[2, 2] = m0 * m2
+    G[3, 3] = m4 * m0
+    G[4, 4] = m0 * m4
+    G[5, 5] = m2 * m2
+    G[0, 3] = G[3, 0] = m2 * m0
+    G[0, 4] = G[4, 0] = m0 * m2
+    G[3, 4] = G[4, 3] = m2 * m2
+    invG = np.linalg.inv(G)
+    return (
+        g.astype(np.float32),
+        xg.astype(np.float32),
+        xxg.astype(np.float32),
+        invG.astype(np.float32),
+    )
+
+
+def poly_expand(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """(..., H, W) float -> (..., H, W, 5) coefficients (bx, by, cxx, cyy, cxy).
+
+    cxy is the coefficient of the monomial x·y (i.e. 2·A[0,1]).
+    """
+    g, xg, xxg, invG = _poly_exp_setup(n, sigma)
+    ya, xa = img.ndim - 2, img.ndim - 1
+    b = "replicate"
+    # vertical pass then horizontal pass for all six projections
+    vg = conv1d(img, g, ya, b)
+    vxg = conv1d(img, xg, ya, b)
+    vxxg = conv1d(img, xxg, ya, b)
+    S1 = conv1d(vg, g, xa, b)
+    Sx = conv1d(vg, xg, xa, b)
+    Sy = conv1d(vxg, g, xa, b)
+    Sxx = conv1d(vg, xxg, xa, b)
+    Syy = conv1d(vxxg, g, xa, b)
+    Sxy = conv1d(vxg, xg, xa, b)
+    S = jnp.stack([S1, Sx, Sy, Sxx, Syy, Sxy], axis=-1)
+    coef = jnp.einsum("...k,jk->...j", S, jnp.asarray(invG))
+    # keep (bx, by, cxx, cyy, cxy); drop the constant term
+    return coef[..., 1:6]
+
+
+# Border attenuation used by OpenCV near image edges (5-pixel band).
+_BORDER = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], dtype=np.float32)
+
+
+def _border_scale(h: int, w: int) -> jnp.ndarray:
+    def axis_scale(n: int) -> np.ndarray:
+        s = np.ones(n, dtype=np.float32)
+        k = min(len(_BORDER), n)
+        s[:k] *= _BORDER[:k]
+        s[n - k:] *= _BORDER[:k][::-1]
+        return s
+    return jnp.asarray(np.outer(axis_scale(h), axis_scale(w)))
+
+
+def _sample_bilinear_planes(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly sample coefficient planes R (..., H, W, C) at (fy, fx)."""
+    h, w = R.shape[-3], R.shape[-2]
+    fx = jnp.clip(fx, 0.0, w - 1.0)
+    fy = jnp.clip(fy, 0.0, h - 1.0)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    flat = R.reshape(R.shape[:-3] + (h * w, R.shape[-1]))
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(yi.shape[:-2] + (h * w, 1))
+        return jnp.take_along_axis(flat, idx, axis=-2).reshape(R.shape)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def update_matrices(
+    R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray, bscale: jnp.ndarray
+) -> jnp.ndarray:
+    """Build the 5 normal-equation planes M = (G11, G12, G22, h1, h2)."""
+    h, w = R0.shape[-3], R0.shape[-2]
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    ys = jnp.arange(h, dtype=jnp.float32).reshape(h, 1)
+    xs = jnp.arange(w, dtype=jnp.float32).reshape(1, w)
+    R1s = _sample_bilinear_planes(R1, xs + dx, ys + dy)
+
+    a11 = (R0[..., 2] + R1s[..., 2]) * 0.5
+    a22 = (R0[..., 3] + R1s[..., 3]) * 0.5
+    a12 = (R0[..., 4] + R1s[..., 4]) * 0.25  # stored cxy = 2*A01, halved twice
+    db1 = (R0[..., 0] - R1s[..., 0]) * 0.5
+    db2 = (R0[..., 1] - R1s[..., 1]) * 0.5
+    # absolute displacement: h += A d_prior
+    b1 = db1 + a11 * dx + a12 * dy
+    b2 = db2 + a12 * dx + a22 * dy
+
+    a11 = a11 * bscale
+    a22 = a22 * bscale
+    a12 = a12 * bscale
+    b1 = b1 * bscale
+    b2 = b2 * bscale
+
+    g11 = a11 * a11 + a12 * a12
+    g12 = (a11 + a22) * a12
+    g22 = a22 * a22 + a12 * a12
+    h1 = a11 * b1 + a12 * b2
+    h2 = a12 * b1 + a22 * b2
+    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+
+
+def solve_flow(M_blur: jnp.ndarray) -> jnp.ndarray:
+    g11 = M_blur[..., 0]
+    g12 = M_blur[..., 1]
+    g22 = M_blur[..., 2]
+    h1 = M_blur[..., 3]
+    h2 = M_blur[..., 4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def _box_blur_planes(M: jnp.ndarray, win: int) -> jnp.ndarray:
+    k = np.full((win,), 1.0 / win, dtype=np.float32)
+    ya, xa = M.ndim - 3, M.ndim - 2
+    out = conv1d(M, k, ya, "replicate")
+    return conv1d(out, k, xa, "replicate")
+
+
+def _level_geometry(h: int, w: int, p: FarnebackParams):
+    """Static per-level (scale, h, w, smooth_ksize, smooth_sigma), coarse
+    level last — mirrors OpenCV's level-count clamp."""
+    levels = 0
+    scale = 1.0
+    for k in range(p.num_levels):
+        scale *= p.pyr_scale
+        if w * scale < p.min_size or h * scale < p.min_size:
+            break
+        levels = k + 1
+    out = []
+    for k in range(levels, -1, -1):
+        s = p.pyr_scale ** k
+        sigma = (1.0 / s - 1.0) * 0.5
+        ksize = max(int(round(sigma * 5)) | 1, 3)
+        out.append((s, int(round(h * s)), int(round(w * s)), ksize, sigma))
+    return out  # coarse first
+
+
+def farneback_flow(I0: jnp.ndarray, I1: jnp.ndarray, p: FarnebackParams) -> jnp.ndarray:
+    """I0, I1: (B, H, W) float32 (0..255 gray) -> flow (B, H, W, 2)."""
+    h, w = I0.shape[-2], I0.shape[-1]
+    geom = _level_geometry(h, w, p)
+    flow = None
+    for li, (scale, lh, lw, ksize, sigma) in enumerate(geom):
+        if flow is None:
+            flow = jnp.zeros(I0.shape[:-2] + (lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_bilinear(
+                jnp.moveaxis(flow, -1, -3), (lh, lw)
+            )
+            flow = jnp.moveaxis(flow, -3, -1) * (1.0 / p.pyr_scale)
+        gk = gaussian_kernel_1d(ksize, sigma)
+        B0 = sep_filter2d(I0, gk, gk)
+        B1 = sep_filter2d(I1, gk, gk)
+        L0 = resize_bilinear(B0, (lh, lw))
+        L1 = resize_bilinear(B1, (lh, lw))
+        R0 = poly_expand(L0, p.poly_n, p.poly_sigma)
+        R1 = poly_expand(L1, p.poly_n, p.poly_sigma)
+        bscale = _border_scale(lh, lw)
+        M = update_matrices(R0, R1, flow, bscale)
+        for it in range(p.num_iters):
+            flow = solve_flow(_box_blur_planes(M, p.win_size))
+            if it < p.num_iters - 1:
+                M = update_matrices(R0, R1, flow, bscale)
+    return flow
+
+
+def make_farneback_solver(height: int, width: int, params: FarnebackParams):
+    @jax.jit
+    def solver(I0_u8: jnp.ndarray, I1_u8: jnp.ndarray) -> jnp.ndarray:
+        return farneback_flow(
+            I0_u8.astype(jnp.float32), I1_u8.astype(jnp.float32), params
+        )
+
+    return solver

@@ -1,0 +1,90 @@
+"""Job configuration + validation.
+
+Mirrors the reference's flag surface (reference tools/denseflow.cpp:8-21) and
+its parameter validation matrix (reference src/denseflow_gpu.cpp:9-42), as a
+dataclass instead of an OpenCV CommandLineParser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+ALGORITHMS = ("nv", "tvl1", "farn", "brox")
+SAVE_TYPES = ("jpg", "png", "h5")
+
+
+@dataclasses.dataclass
+class FlowConfig:
+    """Everything needed to run one extraction job.
+
+    Defaults are byte-compatible with the reference CLI defaults
+    (reference tools/denseflow.cpp:8-21): algorithm=tvl1 (the CLI default
+    value of `-a`), step=0, bound=32, saveType=jpg, outputDir=".",
+    new sizes all 0.
+    """
+
+    input: str = ""
+    output_dir: str = "."
+    algorithm: str = "tvl1"
+    step: int = 0
+    bound: int = 32
+    new_width: int = 0
+    new_height: int = 0
+    new_short: int = 0
+    has_class: bool = False
+    use_frames: bool = False
+    save_type: str = "jpg"
+    force: bool = False
+    verbose: bool = False
+
+    # --- extensions over the reference (all optional, defaults match it) ---
+    # Frame pairs solved per device invocation. The reference solves pairs
+    # one at a time (reference src/denseflow_gpu.cpp:313-341); batching them
+    # is the main TPU win.
+    pair_batch: int = 16
+    # Max frames decoded per chunk, as the reference's batch_maxsize
+    # (reference include/dense_flow.h:95).
+    chunk_frames: int = 512
+    # Continue past a broken video instead of aborting the whole list job
+    # (the reference aborts: single try/catch in main,
+    # reference tools/denseflow.cpp:93-96). `strict=True` restores that.
+    strict: bool = False
+    # Optional solver-preset override, e.g. fewer TVL1 iterations.
+    preset: Optional[str] = None
+    # Device batch count per algorithm invocation is padded to this multiple
+    # to bound XLA recompilation across ragged tail chunks.
+    # Host-side sharding (multi-process): assign videos round-robin by index.
+    host_id: int = 0
+    num_hosts: int = 1
+
+    def validate(self) -> None:
+        """Raise ValueError on any violation of the reference's rules
+        (reference src/denseflow_gpu.cpp:9-42)."""
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(f"{self.algorithm} not supported!")
+        if self.bound <= 0:
+            raise ValueError("bound should > 0!")
+        if self.new_height < 0 or self.new_width < 0 or self.new_short < 0:
+            raise ValueError("height and width cannot < 0!")
+        if self.new_short > 0 and self.new_height + self.new_width != 0:
+            raise ValueError("do not set height and width when set short!")
+        if self.save_type not in SAVE_TYPES:
+            raise ValueError(
+                f"only jpg/png/h5 are supported (no {self.save_type}) for output"
+            )
+        if self.pair_batch <= 0:
+            raise ValueError("pair_batch should > 0!")
+        if self.chunk_frames <= abs(self.step):
+            raise ValueError("chunk_frames must exceed |step|")
+        if not (0 <= self.host_id < self.num_hosts):
+            raise ValueError("host_id must be in [0, num_hosts)")
+
+    def validate_paths(self, video_paths, output_dirs) -> None:
+        """Path checks, mirroring reference src/denseflow_gpu.cpp:10-19."""
+        for vp, od in zip(video_paths, output_dirs):
+            if not os.path.exists(vp):
+                raise ValueError(f"{vp} does not exist!")
+            if not os.path.isdir(od):
+                raise ValueError(f"{od} is not a valid dir!")
