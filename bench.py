@@ -1,0 +1,138 @@
+"""Benchmark harness: TVL1 flow throughput at 256px short-side.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "flows/s", "vs_baseline": N}
+
+Two numbers are measured on the real device:
+* device-only solver throughput (pairs/s through the jitted batched TVL1 —
+  the kernel speed-of-light number), reported in "extra";
+* end-to-end pipeline throughput (decode -> device solve -> quantize ->
+  jpg write), the headline "value" — it corresponds to the reference's
+  printed "flow speed Nfps" (reference src/denseflow_gpu.cpp:492-496).
+
+vs_baseline: the reference publishes no absolute numbers (BASELINE.md).
+The denominator below is an estimate of denseflow's CUDA TVL1 flow fps at
+256px short-side on a contemporary workstation GPU (community-reported
+range ~100-300 fps; OpenCV CUDA TVL1 runs one pair at a time,
+~5-10ms/pair at 256p). We pin 180 flows/s and record the assumption here
+so the ratio is interpretable.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_TVL1_FLOWS_PER_S = 180.0  # see module docstring
+
+H_SRC, W_SRC = 360, 480  # short side 360 -> resized to 256 by -ns=256
+N_FRAMES = 200
+BENCH_DIR = "/tmp/denseflow_tpu_bench"
+
+
+def _make_video(path: str) -> None:
+    import cv2
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(0)
+    pad = 2 * N_FRAMES + 8
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (H_SRC + 16, W_SRC + pad)), 2.0
+    ).astype(np.float32)
+    vw = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (W_SRC, H_SRC)
+    )
+    if not vw.isOpened():
+        raise RuntimeError("cannot open bench video writer")
+    for t in range(N_FRAMES):
+        fr = np.clip(base[8 : 8 + H_SRC, 4 + 2 * t : 4 + 2 * t + W_SRC], 0, 255)
+        vw.write(cv2.cvtColor(fr.astype(np.uint8), cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+
+def bench_device_only(pair_batch: int = 16) -> float:
+    """Pure solver throughput at the bench geometry (flows/s)."""
+    import jax
+    import numpy as np
+
+    from denseflow_tpu.algorithms.tvl1 import TVL1Params, make_tvl1_solver
+
+    h, w = 256, 341  # 480x360 at short-side 256
+    solver = make_tvl1_solver(h, w, TVL1Params())
+    rng = np.random.default_rng(1)
+    import scipy.ndimage as ndi
+
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (pair_batch, h + 8, w + 8)), (0, 2, 2)
+    )
+    I0 = jax.device_put(base[:, 4 : 4 + h, 4 : 4 + w].astype(np.uint8))
+    I1 = jax.device_put(base[:, 4 : 4 + h, 6 : 6 + w].astype(np.uint8))
+    # warmup/compile
+    solver(I0, I1)[0].block_until_ready()
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = solver(I0, I1)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_rep * pair_batch / dt
+
+
+def bench_pipeline(pair_batch: int = 16) -> dict:
+    """End-to-end CLI pipeline on a 200-frame video, 256px short side."""
+    import shutil
+
+    from denseflow_tpu.cli import main
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    video = os.path.join(BENCH_DIR, "bench.avi")
+    if not os.path.exists(video):
+        _make_video(video)
+    outdir = os.path.join(BENCH_DIR, "out")
+    shutil.rmtree(outdir, ignore_errors=True)
+
+    # warmup run to amortize XLA compilation out of the measurement
+    warm_out = os.path.join(BENCH_DIR, "warm")
+    shutil.rmtree(warm_out, ignore_errors=True)
+    rc = main(
+        [video, f"-o={warm_out}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
+         f"--pairBatch={pair_batch}"]
+    )
+    if rc != 0:
+        raise RuntimeError("warmup pipeline run failed")
+
+    t0 = time.perf_counter()
+    rc = main(
+        [video, f"-o={outdir}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
+         f"--pairBatch={pair_batch}"]
+    )
+    dt = time.perf_counter() - t0
+    if rc != 0:
+        raise RuntimeError("pipeline run failed")
+    n_flows = N_FRAMES - 1
+    return {"flows_per_s": n_flows / dt, "seconds": dt, "flows": n_flows}
+
+
+def main_bench() -> None:
+    pair_batch = int(os.environ.get("BENCH_PAIR_BATCH", "16"))
+    device_fps = bench_device_only(pair_batch)
+    pipe = bench_pipeline(pair_batch)
+    value = pipe["flows_per_s"]
+    result = {
+        "metric": "tvl1_flow_fps_256p_e2e",
+        "value": round(value, 2),
+        "unit": "flows/s",
+        "vs_baseline": round(value / REFERENCE_TVL1_FLOWS_PER_S, 3),
+        "extra": {
+            "device_only_flows_per_s": round(device_fps, 2),
+            "pair_batch": pair_batch,
+            "pipeline_seconds": round(pipe["seconds"], 2),
+            "baseline_assumption": f"reference CUDA TVL1 ~{REFERENCE_TVL1_FLOWS_PER_S} flows/s (estimate, none published)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main_bench()

@@ -28,7 +28,7 @@ import numpy as np
 from denseflow_tpu.ops.filters import conv1d, gaussian_kernel_1d, sep_filter2d
 from denseflow_tpu.ops.pyramid import build_pyramid, pyramid_shapes
 from denseflow_tpu.ops.resize import resize_bilinear
-from denseflow_tpu.ops.warp import warp_bicubic
+from denseflow_tpu.ops.warp import warp_shift
 
 _PSI_EPS2 = 0.001 * 0.001
 
@@ -44,6 +44,9 @@ class BroxParams:
     min_size: int = 16
     # Brox presmoothing of the input images
     presmooth_sigma: float = 0.8
+    # displacement clamp for the gather-free masked-shift warp
+    # (see ops/warp.py); scaled per pyramid level
+    max_disp: int = 40
 
 
 # 5-point derivative stencil (Brox uses 4th-order central differences)
@@ -78,7 +81,7 @@ def _shift(x, dy_, dx_):
     return x
 
 
-def _solve_level(I0, I1, u, v, p: BroxParams):
+def _solve_level(I0, I1, u, v, p: BroxParams, max_disp: int):
     """One pyramid level: outer warping loop around inner fixed-point +
     Jacobi solver. All arrays (B, H, W)."""
     alpha = jnp.float32(p.alpha)
@@ -91,9 +94,10 @@ def _solve_level(I0, I1, u, v, p: BroxParams):
 
     def outer_body(_, uv):
         u, v = uv
-        I1w = warp_bicubic(I1, u, v)
-        Ix = warp_bicubic(I1x_full, u, v)
-        Iy = warp_bicubic(I1y_full, u, v)
+        warped = warp_shift(
+            jnp.stack([I1, I1x_full, I1y_full]), u, v, max_disp, "cubic"
+        )
+        I1w, Ix, Iy = warped[0], warped[1], warped[2]
         Iz = I1w - I0
         Ixx = _dx(Ix)
         Ixy = _dy(Ix)
@@ -182,7 +186,8 @@ def brox_flow(I0: jnp.ndarray, I1: jnp.ndarray, p: BroxParams) -> jnp.ndarray:
     u = jnp.zeros(I0.shape[:-2] + shapes[-1], jnp.float32)
     v = jnp.zeros_like(u)
     for lvl in range(len(shapes) - 1, -1, -1):
-        u, v = _solve_level(pyr0[lvl], pyr1[lvl], u, v, p)
+        d_lvl = max(4, int(round(p.max_disp * shapes[lvl][1] / shapes[0][1])))
+        u, v = _solve_level(pyr0[lvl], pyr1[lvl], u, v, p, d_lvl)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             u = resize_bilinear(u, (nh, nw)) * inv

@@ -41,6 +41,9 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.1
     min_size: int = 8  # stop adding levels below this side length
+    # displacement clamp for the gather-free masked-shift resampling of the
+    # coefficient planes (see ops/warp.py); scaled per pyramid level
+    max_disp: int = 40
 
 
 def _poly_exp_setup(n: int, sigma: float):
@@ -113,45 +116,30 @@ def _border_scale(h: int, w: int) -> jnp.ndarray:
     return jnp.asarray(np.outer(axis_scale(h), axis_scale(w)))
 
 
-def _sample_bilinear_planes(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinearly sample coefficient planes R (..., H, W, C) at (fy, fx)."""
-    h, w = R.shape[-3], R.shape[-2]
-    fx = jnp.clip(fx, 0.0, w - 1.0)
-    fy = jnp.clip(fy, 0.0, h - 1.0)
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = (fx - x0)[..., None]
-    ty = (fy - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+def _sample_bilinear_planes(
+    R: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Bilinearly resample coefficient planes R (..., H, W, C) at the
+    displaced positions (x+dx, y+dy), via the gather-free masked-shift
+    resampler (one coefficient sweep shared by the C-plane stack)."""
+    from denseflow_tpu.ops.warp import warp_shift
 
-    flat = R.reshape(R.shape[:-3] + (h * w, R.shape[-1]))
-
-    def gather(yi, xi):
-        idx = (yi * w + xi).reshape(yi.shape[:-2] + (h * w, 1))
-        return jnp.take_along_axis(flat, idx, axis=-2).reshape(R.shape)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-    top = v00 * (1 - tx) + v01 * tx
-    bot = v10 * (1 - tx) + v11 * tx
-    return top * (1 - ty) + bot * ty
+    planes = jnp.moveaxis(R, -1, 0)  # (C, ..., H, W)
+    out = warp_shift(planes, dx, dy, max_disp, kernel="linear")
+    return jnp.moveaxis(out, 0, -1)
 
 
 def update_matrices(
-    R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray, bscale: jnp.ndarray
+    R0: jnp.ndarray,
+    R1: jnp.ndarray,
+    flow: jnp.ndarray,
+    bscale: jnp.ndarray,
+    max_disp: int,
 ) -> jnp.ndarray:
     """Build the 5 normal-equation planes M = (G11, G12, G22, h1, h2)."""
-    h, w = R0.shape[-3], R0.shape[-2]
     dx = flow[..., 0]
     dy = flow[..., 1]
-    ys = jnp.arange(h, dtype=jnp.float32).reshape(h, 1)
-    xs = jnp.arange(w, dtype=jnp.float32).reshape(1, w)
-    R1s = _sample_bilinear_planes(R1, xs + dx, ys + dy)
+    R1s = _sample_bilinear_planes(R1, dx, dy, max_disp)
 
     a11 = (R0[..., 2] + R1s[..., 2]) * 0.5
     a22 = (R0[..., 3] + R1s[..., 3]) * 0.5
@@ -235,11 +223,12 @@ def farneback_flow(I0: jnp.ndarray, I1: jnp.ndarray, p: FarnebackParams) -> jnp.
         R0 = poly_expand(L0, p.poly_n, p.poly_sigma)
         R1 = poly_expand(L1, p.poly_n, p.poly_sigma)
         bscale = _border_scale(lh, lw)
-        M = update_matrices(R0, R1, flow, bscale)
+        d_lvl = max(4, int(round(p.max_disp * scale)))
+        M = update_matrices(R0, R1, flow, bscale, d_lvl)
         for it in range(p.num_iters):
             flow = solve_flow(_box_blur_planes(M, p.win_size))
             if it < p.num_iters - 1:
-                M = update_matrices(R0, R1, flow, bscale)
+                M = update_matrices(R0, R1, flow, bscale, d_lvl)
     return flow
 
 

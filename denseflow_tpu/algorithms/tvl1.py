@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from denseflow_tpu.ops.derivatives import centered_gradient, divergence, forward_gradient
 from denseflow_tpu.ops.pyramid import build_pyramid, pyramid_shapes
 from denseflow_tpu.ops.resize import resize_bilinear
-from denseflow_tpu.ops.warp import warp_bicubic
+from denseflow_tpu.ops.warp import warp_shift
 
 _GRAD_EPS = 1.1920929e-07  # numeric_limits<float>::epsilon(), OpenCV's guard
 
@@ -50,11 +50,26 @@ class TVL1Params:
     epsilon: float = 0.01
     iterations: int = 300
     scale_step: float = 0.8
-    # error check cadence: reduce over the batch every N iterations
-    # (1 = OpenCV-exact; larger trades epsilon granularity for fewer
-    # full-image reductions)
-    check_every: int = 1
+    # error check cadence: evaluate the epsilon stop every N iterations
+    # (1 = OpenCV-exact; 4 runs at most 3 harmless extra iterations past
+    # convergence while quartering the reduction cost)
+    check_every: int = 4
     min_size: int = 16
+    # Displacement clamp for the masked-shift warp (TPU-native, gather-free;
+    # see ops/warp.py). Flows beyond ±max_disp px at the finest level stop
+    # being tracked — the reference's unbounded texture fetch has no such
+    # limit, but 40px at 256p covers typical video motion and the jpg
+    # output path clips at ±bound (default 32) anyway.
+    max_disp: int = 40
+    # Run the primal-dual loop as a VMEM-resident Pallas kernel
+    # (kernels/tvl1_pallas.py). "auto": on for TPU backends, off for CPU.
+    use_pallas: str = "auto"
+
+
+def _pallas_enabled(p: "TVL1Params") -> bool:
+    if p.use_pallas == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return p.use_pallas == "on"
 
 
 def _solve_one_scale(
@@ -63,6 +78,7 @@ def _solve_one_scale(
     u1: jnp.ndarray,
     u2: jnp.ndarray,
     p: TVL1Params,
+    max_disp: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run warps x iterations at a single pyramid level. All (B, H, W)."""
     l_t = p.lambda_ * p.theta
@@ -79,13 +95,29 @@ def _solve_one_scale(
 
     def warp_body(carry, _):
         u1, u2, p11, p12, p21, p22 = carry
-        # snapshot flow for this warp
+        # snapshot flow for this warp; warp I1 and its gradients together
+        # (one coefficient sweep shared by the 3-image stack)
         u1_0, u2_0 = u1, u2
-        I1w = warp_bicubic(I1, u1_0, u2_0)
-        I1wx = warp_bicubic(I1x, u1_0, u2_0)
-        I1wy = warp_bicubic(I1y, u1_0, u2_0)
+        warped = warp_shift(
+            jnp.stack([I1, I1x, I1y]), u1_0, u2_0, max_disp, "cubic"
+        )
+        I1w, I1wx, I1wy = warped[0], warped[1], warped[2]
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1_0 - I1wy * u2_0 - I0
+
+        if _pallas_enabled(p):
+            from denseflow_tpu.kernels.tvl1_pallas import tvl1_iterate_pallas
+
+            u1n, u2n, p11n, p12n, p21n, p22n = tvl1_iterate_pallas(
+                I1wx, I1wy, rho_c, grad, u1, u2, p11, p12, p21, p22,
+                l_t=float(l_t),
+                theta=float(p.theta),
+                taut=float(taut),
+                epsilon=float(p.epsilon),
+                iterations=int(p.iterations),
+                check_every=int(p.check_every),
+            )
+            return (u1n, u2n, p11n, p12n, p21n, p22n), None
 
         def iter_cond(state):
             _, _, _, _, _, _, err, n = state
@@ -154,7 +186,10 @@ def tvl1_flow(I0: jnp.ndarray, I1: jnp.ndarray, params: TVL1Params) -> jnp.ndarr
     u1 = jnp.zeros(I0.shape[:-2] + shapes[-1], jnp.float32)
     u2 = jnp.zeros_like(u1)
     for lvl in range(len(shapes) - 1, -1, -1):
-        u1, u2 = _solve_one_scale(pyr0[lvl], pyr1[lvl], u1, u2, params)
+        # displacement bound scales with the level resolution: motion of
+        # max_disp px at the finest level is max_disp * (w_lvl/w_0) here
+        d_lvl = max(4, int(round(params.max_disp * shapes[lvl][1] / shapes[0][1])))
+        u1, u2 = _solve_one_scale(pyr0[lvl], pyr1[lvl], u1, u2, params, d_lvl)
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             u1 = resize_bilinear(u1, (nh, nw)) * inv

@@ -1,0 +1,134 @@
+"""Device executor: turns decoded frame chunks into quantized flow payloads.
+
+This is the TPU-side replacement for the reference's compute thread
+(reference src/denseflow_gpu.cpp:282-394), re-designed for XLA:
+
+* one jit-compiled **fused step** per (geometry, save_type): slice a batch
+  of B frame pairs out of the resident chunk (`lax.dynamic_slice` — a single
+  compile covers every batch offset), solve, and quantize on device —
+  only uint8 (jpg/png) or float32 (h5) results cross back to the host;
+* the chunk's frames are uploaded to HBM **once** and all pair batches
+  slice from them (the reference uploads each frame pair separately,
+  src/denseflow_gpu.cpp:317-318);
+* chunk lengths are bucketed to a few static sizes so XLA compiles a
+  handful of programs per video geometry instead of one per chunk.
+
+Pair indexing matches the reference (src/denseflow_gpu.cpp:315-316):
+a = step>0 ? i : i-step, b = step>0 ? i+step : i, flow computed a -> b.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denseflow_tpu.algorithms import make_solver
+from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
+
+_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _bucket(n: int, cap: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return min(b, cap)
+    return cap
+
+
+class DeviceExecutor:
+    """Per-(video geometry, algorithm, save_type) compiled compute step."""
+
+    def __init__(
+        self,
+        algorithm: str,
+        height: int,
+        width: int,
+        step: int,
+        bound: int,
+        save_type: str,
+        pair_batch: int,
+        chunk_capacity: int,
+    ) -> None:
+        self.height = height
+        self.width = width
+        self.step = step
+        self.bound = float(bound)
+        self.save_type = save_type
+        self.B = pair_batch
+        self.chunk_capacity = chunk_capacity + abs(step)
+        solver = make_solver(algorithm, height, width)
+        astep = abs(step)
+        off_a = 0 if step > 0 else astep
+        off_b = step if step > 0 else 0
+        B = self.B
+        bound_f = self.bound
+
+        def pair_step(frames: jnp.ndarray, s: jnp.ndarray):
+            """frames: (N, H, W) uint8 resident chunk; s: scalar start pair."""
+            I0 = jax.lax.dynamic_slice(
+                frames, (s + off_a, 0, 0), (B, height, width)
+            )
+            I1 = jax.lax.dynamic_slice(
+                frames, (s + off_b, 0, 0), (B, height, width)
+            )
+            flow = solver(I0, I1)
+            if save_type == "jpg":
+                return quantize_flow_pair(flow, bound_f)
+            if save_type == "png":
+                return quantize_flow_png(flow)
+            return flow  # h5: raw float32
+
+        self._step = jax.jit(pair_step)
+
+    def run_chunk(self, frames: np.ndarray) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
+        """frames: (N, H, W) uint8 (halo included). Returns the payload for
+        the chunk's M = N - |step| pairs:
+        jpg -> (imgs_x, imgs_y) uint8 (M, H, W); png -> (M, H, W, 3) uint8;
+        h5 -> (M, H, W, 2) float32."""
+        n = frames.shape[0]
+        m = n - abs(self.step)
+        if m <= 0:
+            if self.save_type == "jpg":
+                e = np.empty((0, self.height, self.width), np.uint8)
+                return e, e
+            if self.save_type == "png":
+                return np.empty((0, self.height, self.width, 3), np.uint8)
+            return np.empty((0, self.height, self.width, 2), np.float32)
+
+        # pad so every dynamic_slice start in [0, m) is in range, and bucket
+        # the chunk length to bound recompiles
+        need = m - 1 + self.B + abs(self.step)
+        n_pad = _bucket(max(need, n), max(self.chunk_capacity, need))
+        if n_pad > n:
+            pad = np.repeat(frames[-1:], n_pad - n, axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        dev_frames = jax.device_put(frames)
+
+        outs = []
+        for s in range(0, m, self.B):
+            outs.append(self._step(dev_frames, s))
+        if isinstance(outs[0], tuple):
+            xs = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)[:m]
+            ys = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)[:m]
+            return xs, ys
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:m]
+
+
+@lru_cache(maxsize=16)
+def get_executor(
+    algorithm: str,
+    height: int,
+    width: int,
+    step: int,
+    bound: int,
+    save_type: str,
+    pair_batch: int,
+    chunk_capacity: int,
+) -> DeviceExecutor:
+    return DeviceExecutor(
+        algorithm, height, width, step, bound, save_type, pair_batch, chunk_capacity
+    )

@@ -2,13 +2,26 @@
 
 OpenCV's CUDA TVL1 warps I1 (and its gradients) by the current flow with
 bicubic texture fetches; matching that interpolation is load-bearing for the
-≤0.5px EPE target. We implement cubic-convolution interpolation with
-OpenCV's coefficient a = -0.75 and clamp-to-edge borders, plus a cheaper
-bilinear variant used by the fast preset.
+≤0.5px EPE target. Two implementations:
+
+* `warp_bicubic` / `warp_bilinear`: direct gather formulation (XLA gather).
+  Exact, but TPU gathers run ~100x below memory bandwidth — kept as the
+  CPU-path reference and correctness oracle.
+* `warp_shift` (+ wrappers `warp_bicubic_shift`): the TPU-native
+  formulation. The interpolation kernel K is evaluated per pixel against a
+  sweep of static image shifts: out = Σ_k K(d - k) · shift(img, k) for
+  integer k in [-D-1, D+2], where d is the (clamped) displacement. Pure
+  VPU select/multiply/add — no gather anywhere — at the cost of clamping
+  displacements to ±D (`max_disp`). Axis-sequential: vertical resample
+  then horizontal, which matches the 2-D tensor-product kernel exactly
+  for flow constant along rows/columns and differs only where the flow
+  field varies within the kernel support (TV-regularized flow is
+  piecewise-smooth, so this is boundary-localized and far inside the EPE
+  budget).
 
 All functions operate on (..., H, W) images with flow components given as
-separate (..., H, W) u (x-displacement) and v (y-displacement) arrays, i.e.
-sample src at (x + u, y + v) — same convention as the reference's solvers.
+(..., H, W) u (x-displacement) and v (y-displacement) arrays, i.e. sample
+src at (x + u, y + v) — same convention as the reference's solvers.
 """
 
 from __future__ import annotations
@@ -92,3 +105,147 @@ def warp_bicubic(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
             row = row + wx[dx + 1] * _gather2d(img, yi, xi)
         acc = acc + wy[dy + 1] * row
     return acc
+
+
+# ---------------------------------------------------------------------------
+# TPU-native masked-shift warping (no gathers)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Cubic-convolution kernel, a=-0.75, support (-2, 2). Algebraically
+    identical to the 4-tap weights in `_cubic_weights`."""
+    a = -0.75
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * (ax3 - 5.0 * ax2 + 8.0 * ax - 4.0)
+    return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+
+
+def _linear_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Triangle kernel, support (-1, 1) — bilinear interpolation."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _shift_axis(img: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """shift(img, k)[..., y, ...] = img[..., clamp(y+k), ...] (replicate)."""
+    if k == 0:
+        return img
+    n = img.shape[axis]
+    sl = [slice(None)] * img.ndim
+    pad = [slice(None)] * img.ndim
+    if k > 0:
+        sl[axis] = slice(k, n)
+        pad[axis] = slice(n - 1, n)
+        body = img[tuple(sl)]
+        edge = img[tuple(pad)]
+        reps = [1] * img.ndim
+        reps[axis] = k
+        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=axis)
+    k = -k
+    sl[axis] = slice(0, n - k)
+    pad[axis] = slice(0, 1)
+    body = img[tuple(sl)]
+    edge = img[tuple(pad)]
+    reps = [1] * img.ndim
+    reps[axis] = k
+    return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
+
+
+def _resample_axis(
+    img: jnp.ndarray, disp: jnp.ndarray, axis: int, max_disp: int, kernel
+) -> jnp.ndarray:
+    """1-D resample along `axis` at per-pixel displacement `disp` (clamped
+    to ±max_disp), as a sweep of static shifts weighted by the kernel.
+
+    img may have extra leading axes vs disp (e.g. a stack of images warped
+    by one flow field); coefficients broadcast across them.
+    """
+    import jax
+
+    n = img.shape[axis]
+    # position clamped to the image, displacement clamped to ±max_disp
+    shape = [1] * disp.ndim
+    shape[axis - (img.ndim - disp.ndim)] = n
+    coords = jnp.arange(n, dtype=jnp.float32).reshape(shape)
+    d = jnp.clip(disp, -float(max_disp), float(max_disp))
+    pos = jnp.clip(coords + d, 0.0, n - 1.0)
+    d = pos - coords
+
+    support = 2 if kernel is _cubic_kernel else 1
+    lo = -max_disp - support + 1
+    hi = max_disp + support
+
+    # replicate-pad once, then sweep shifts as dynamic slices inside a
+    # fori_loop — the loop body compiles once regardless of max_disp
+    pad_widths = [(0, 0)] * img.ndim
+    pad_widths[axis] = (-lo, hi)
+    padded = jnp.pad(img.astype(jnp.float32), pad_widths, mode="edge")
+
+    out_shape = jnp.broadcast_shapes(img.shape, disp.shape)
+    starts_base = [0] * img.ndim
+    sizes = list(img.shape)
+
+    def body(i, out):
+        k = lo + i
+        starts = list(starts_base)
+        starts[axis] = i  # padded offset: i = k - lo
+        shifted = jax.lax.dynamic_slice(padded, starts, sizes)
+        c = kernel(d - k.astype(jnp.float32))
+        return out + c * shifted
+
+    out = jnp.zeros(out_shape, jnp.float32)
+    return jax.lax.fori_loop(0, hi - lo + 1, body, out)
+
+
+def warp_shift(
+    img: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    max_disp: int,
+    kernel: str = "cubic",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Warp img at (x+u, y+v) with the masked-shift method (see module doc).
+
+    img: (..., H, W); u, v: broadcast-compatible (..., H, W) flow. Extra
+    leading axes of img (image stacks sharing one flow) are supported and
+    share the per-pixel coefficients.
+
+    impl="auto" dispatches CPU backends to the gather formulation: CPU
+    gathers are fast and the O(max_disp) shift sweep is not (the two agree
+    within the clamp; see tests/test_ops.py::TestShiftWarp). Pass "shift"
+    or "gather" to force.
+    """
+    import jax
+
+    if impl == "gather" or (impl == "auto" and jax.default_backend() == "cpu"):
+        gather_fn = warp_bicubic if kernel == "cubic" else warp_bilinear
+        d = float(max_disp)
+        uc = jnp.clip(u, -d, d)
+        vc = jnp.clip(v, -d, d)
+        if img.ndim > uc.ndim:
+            lead = img.shape[: img.ndim - uc.ndim]
+            flat = img.reshape((-1,) + img.shape[img.ndim - uc.ndim:])
+            out = jnp.stack([gather_fn(flat[i], uc, vc) for i in range(flat.shape[0])])
+            return out.reshape(lead + out.shape[1:])
+        return gather_fn(img, uc, vc)
+    kfn = _cubic_kernel if kernel == "cubic" else _linear_kernel
+    ya = img.ndim - 2
+    xa = img.ndim - 1
+    tmp = _resample_axis(img, v, ya, max_disp, kfn)
+    return _resample_axis(tmp, u, xa, max_disp, kfn)
+
+
+def warp_bicubic_shift(
+    img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    return warp_shift(img, u, v, max_disp, "cubic")
+
+
+def warp_bilinear_shift(
+    img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    return warp_shift(img, u, v, max_disp, "linear")

@@ -1,0 +1,59 @@
+"""Multi-host coordination.
+
+The reference has no distributed backend at all — users hand-split the video
+list and run one process per GPU, with `.done` markers making concurrent runs
+idempotent (reference README.md:11, tools/denseflow.cpp:63-76). Here that
+workflow is first-class:
+
+* `init_distributed()` brings up `jax.distributed` over a pod slice
+  (ICI/DCN) and returns (host_id, num_hosts) to feed the video-list shard
+  filter in io.reader.expand_jobs;
+* `.done` markers live on shared storage, preserving idempotent resume
+  across hosts and restarts (the reference's checkpoint granularity);
+* `allreduce_counters()` is the run's ONLY collective: a psum of the
+  (frames, flows) counters so host 0 can print the global summary line.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from denseflow_tpu.utils import Counters
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize jax.distributed (no-op for single-process runs).
+
+    Returns (host_id, num_hosts) for video-list sharding.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def allreduce_counters(counters: Counters) -> Tuple[int, int, int]:
+    """Global (videos, frames, flows) across all hosts — one psum at end of
+    run, mirroring the reference's final summary (src/denseflow_gpu.cpp:492-496)
+    but aggregated pod-wide."""
+    local = np.array(
+        [counters.total_videos, counters.total_frames, counters.total_flows],
+        dtype=np.int64,
+    )
+    if jax.process_count() == 1:
+        return tuple(int(x) for x in local)
+
+    from jax.experimental import multihost_utils
+
+    total = multihost_utils.process_allgather(local).sum(axis=0)
+    return tuple(int(x) for x in total)

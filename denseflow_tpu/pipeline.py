@@ -1,0 +1,270 @@
+"""The 3-stage extraction pipeline: decode ∥ device compute ∥ encode+write.
+
+Same shape as the reference's thread trio with two bounded queues of depth 3
+(reference include/dense_flow.h:35-46, src/denseflow_gpu.cpp:179-477), built
+on queue.Queue backpressure instead of hand-rolled mutex/condvar pairs.
+Sentinels replace the reference's ready_to_exit1/2/3 cascade. Differences
+by design:
+
+* the compute stage runs **batched pairs** through a jit-compiled device
+  step (executor.py) instead of per-pair upload/calc/download;
+* per-video errors are isolated (the video is reported and skipped) unless
+  cfg.strict, where the first error aborts the run like the reference's
+  single try/catch (reference tools/denseflow.cpp:93-96);
+* counters and the final summary line are preserved verbatim.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from denseflow_tpu.config import FlowConfig
+from denseflow_tpu.executor import get_executor
+from denseflow_tpu.io.reader import EmptyFolderError, Job, open_source
+from denseflow_tpu.io.writer import (
+    HAVE_H5,
+    create_h5_file,
+    encode_jpg,
+    encode_png,
+    mark_done,
+    write_flow_images,
+    write_flow_images_png,
+    write_hdf5,
+)
+from denseflow_tpu.utils import Counters, StageTimers, VerboseLog
+
+QUEUE_DEPTH = 3  # the reference's frames_gray_maxsize / flows_maxsize
+
+
+@dataclass
+class _ChunkItem:
+    frames: np.ndarray  # (N, H, W) uint8, halo included
+    output_dir: str
+    base_start: int
+    last_buffer: bool
+    height: int
+    width: int
+
+
+@dataclass
+class _FlowItem:
+    payload: object  # (qx, qy) | png u8 | f32 flow, per save_type
+    output_dir: str
+    base_start: int
+    last_buffer: bool
+
+
+@dataclass
+class _VideoError:
+    video_path: str
+    error: str
+
+
+class Pipeline:
+    def __init__(self, cfg: FlowConfig, jobs: List[Job], is_record: bool) -> None:
+        cfg.validate()
+        self.cfg = cfg
+        self.jobs = jobs
+        self.is_record = is_record
+        self.counters = Counters()
+        self.timers = StageTimers()
+        self.log = VerboseLog(cfg.verbose)
+        self.errors: List[_VideoError] = []
+        self._frames_q: queue.Queue = queue.Queue(maxsize=QUEUE_DEPTH)
+        self._flows_q: queue.Queue = queue.Queue(maxsize=QUEUE_DEPTH)
+        self._abort = threading.Event()
+
+    # ---------------- stage 1: decode ----------------
+    def _load_frames(self) -> None:
+        cfg = self.cfg
+        try:
+            for job in self.jobs:
+                if self._abort.is_set():
+                    break
+                try:
+                    if cfg.save_type == "h5":
+                        if not HAVE_H5:
+                            raise RuntimeError("HDF5 support is not available")
+                        create_h5_file(job.output_dir, cfg.step)
+                    src = open_source(job.video_path, cfg)
+                except EmptyFolderError as e:
+                    self.log(str(e))
+                    continue
+                except Exception as e:
+                    self._video_error(job, e)
+                    continue
+                w, h = src.size
+                self.log(f"{job.video_path}, frames ≈ {src.approx_frames}")
+                n_frames = 0
+                try:
+                    gen = src.chunks(cfg.step)
+                    while True:
+                        with self.timers.track("decode"):
+                            chunk = next(gen, None)
+                        if chunk is None:
+                            break
+                        n_frames += len(chunk.frames) - chunk.halo
+                        item = _ChunkItem(
+                            frames=chunk.frames,
+                            output_dir=job.output_dir,
+                            base_start=chunk.base_start,
+                            last_buffer=chunk.last,
+                            height=h,
+                            width=w,
+                        )
+                        self._frames_q.put(item)
+                        self.log(
+                            f"push frames gray, video_flow_idx {chunk.base_start},"
+                            f" batch_size {len(chunk.frames) - chunk.halo}"
+                        )
+                        if self._abort.is_set():
+                            break
+                except Exception as e:
+                    self._video_error(job, e)
+                finally:
+                    src.close()
+                self.counters.add_frames(n_frames)
+                self.counters.add_videos()
+                self.log(f"loaded video {job.video_path}, {n_frames} frames")
+        finally:
+            self._frames_q.put(None)
+            self.log("load frames exit.")
+
+    # ---------------- stage 2: device compute ----------------
+    def _calc_flows(self) -> None:
+        cfg = self.cfg
+        try:
+            while True:
+                item: Optional[_ChunkItem] = self._frames_q.get()
+                if item is None:
+                    break
+                try:
+                    ex = get_executor(
+                        cfg.algorithm,
+                        item.height,
+                        item.width,
+                        cfg.step,
+                        cfg.bound,
+                        cfg.save_type,
+                        cfg.pair_batch,
+                        cfg.chunk_frames,
+                    )
+                    with self.timers.track("compute"):
+                        payload = ex.run_chunk(item.frames)
+                    m = (
+                        payload[0].shape[0]
+                        if isinstance(payload, tuple)
+                        else payload.shape[0]
+                    )
+                    self.counters.add_flows(m)
+                    self._flows_q.put(
+                        _FlowItem(
+                            payload, item.output_dir, item.base_start, item.last_buffer
+                        )
+                    )
+                    self.log(f"flows queue push a item ({m} flows)")
+                except Exception:
+                    self.errors.append(
+                        _VideoError(item.output_dir, traceback.format_exc())
+                    )
+                    if cfg.strict:
+                        self._abort.set()
+                    # still forward an empty item so .done logic can run
+                    if item.last_buffer:
+                        self._flows_q.put(
+                            _FlowItem(None, item.output_dir, item.base_start, True)
+                        )
+        finally:
+            self._flows_q.put(None)
+            self.log("calc optflows exit.")
+
+    # ---------------- stage 3: encode + write ----------------
+    def _encode_save(self) -> None:
+        cfg = self.cfg
+        try:
+            while True:
+                item: Optional[_FlowItem] = self._flows_q.get()
+                if item is None:
+                    break
+                try:
+                    with self.timers.track("encode"):
+                        self._write_item(item)
+                except Exception:
+                    self.errors.append(
+                        _VideoError(item.output_dir, traceback.format_exc())
+                    )
+                    if cfg.strict:
+                        self._abort.set()
+        finally:
+            self.log("post process exit.")
+
+    def _write_item(self, item: _FlowItem) -> None:
+        cfg = self.cfg
+        if item.payload is not None:
+            if cfg.save_type == "jpg":
+                qx, qy = item.payload
+                imgs_x = [encode_jpg(qx[i]) for i in range(qx.shape[0])]
+                imgs_y = [encode_jpg(qy[i]) for i in range(qy.shape[0])]
+                write_flow_images(
+                    imgs_x, f"{item.output_dir}/flow_x", cfg.step, item.base_start
+                )
+                write_flow_images(
+                    imgs_y, f"{item.output_dir}/flow_y", cfg.step, item.base_start
+                )
+            elif cfg.save_type == "png":
+                pngs = [
+                    encode_png(item.payload[i]) for i in range(item.payload.shape[0])
+                ]
+                write_flow_images_png(
+                    pngs, f"{item.output_dir}/flow", cfg.step, item.base_start
+                )
+            elif cfg.save_type == "h5":
+                flow = item.payload
+                write_hdf5(
+                    [flow[i, :, :, 0] for i in range(flow.shape[0])],
+                    item.output_dir,
+                    "flow_x",
+                    cfg.step,
+                    item.base_start,
+                )
+                write_hdf5(
+                    [flow[i, :, :, 1] for i in range(flow.shape[0])],
+                    item.output_dir,
+                    "flow_y",
+                    cfg.step,
+                    item.base_start,
+                )
+        if self.is_record and item.last_buffer:
+            mark_done(item.output_dir, cfg.has_class)
+            from pathlib import Path
+
+            out = Path(item.output_dir)
+            title = f"{out.parent.name}/{out.name}" if cfg.has_class else out.name
+            print(f"done video {title}", flush=True)
+
+    # ---------------- driver ----------------
+    def _video_error(self, job: Job, e: Exception) -> None:
+        self.errors.append(_VideoError(job.video_path, str(e)))
+        if self.cfg.strict:
+            self._abort.set()
+            raise e
+        print(f"error on {job.video_path}: {e}", flush=True)
+
+    def launch(self) -> None:
+        threads = [
+            threading.Thread(target=self._load_frames, name="load_frames"),
+            threading.Thread(target=self._calc_flows, name="calc_optflows"),
+            threading.Thread(target=self._encode_save, name="encode_save"),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if self.cfg.strict and self.errors:
+            raise RuntimeError(self.errors[0].error)

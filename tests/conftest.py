@@ -56,3 +56,44 @@ def make_moving_square(
 @pytest.fixture
 def moving_square():
     return make_moving_square
+
+
+def write_video(path, frames_gray):
+    """Write gray frames as an MJPG .avi (lossy but high quality)."""
+    import cv2
+
+    h, w = frames_gray[0].shape
+    vw = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h)
+    )
+    assert vw.isOpened()
+    for fr in frames_gray:
+        vw.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+    vw.release()
+    return str(path)
+
+
+def make_translating_video(path, h=64, w=80, n=9, dx=2, dy=0, seed=7):
+    """A textured scene whose *content* moves by exactly (-dx, -dy) px/frame
+    (the crop window moves by (+dx, +dy)). Returns (path, true_flow)."""
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(seed)
+    pad = 4 + max(abs(dx), abs(dy)) * n
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (h + 2 * pad, w + 2 * pad)), 2.0
+    ).astype(np.float32)
+    frames = []
+    for t in range(n):
+        fr = base[pad + dy * t : pad + dy * t + h, pad + dx * t : pad + dx * t + w]
+        frames.append(np.clip(fr, 0, 255).astype(np.uint8))
+    write_video(path, frames)
+    return str(path), (-dx, -dy)
+
+
+@pytest.fixture
+def translating_video(tmp_path):
+    def _make(**kw):
+        return make_translating_video(tmp_path / "vid.avi", **kw)
+
+    return _make

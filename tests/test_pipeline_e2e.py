@@ -1,0 +1,207 @@
+"""End-to-end pipeline/CLI tests on tiny synthetic videos
+(SURVEY.md §4 golden-file strategy)."""
+
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from conftest import make_translating_video, write_video
+from denseflow_tpu.cli import main, parse_args
+
+
+def _expected_quant(val, bound):
+    return round(255.0 * (val + bound) / (2.0 * bound))
+
+
+@pytest.fixture
+def vid(tmp_path):
+    # content flow is (-2, 0): crop window moves right 2px/frame
+    path, true_flow = make_translating_video(tmp_path / "v.avi", h=64, w=80, n=9, dx=2)
+    return path, true_flow
+
+
+class TestCLIParsing:
+    def test_opencv_style_tokens(self):
+        cfg = parse_args(["in.avi", "-a=farn", "-s=2", "-b=20", "-o=/out", "-v"])
+        assert cfg.algorithm == "farn"
+        assert cfg.step == 2
+        assert cfg.bound == 20
+        assert cfg.output_dir == "/out"
+        assert cfg.verbose and not cfg.force
+
+    def test_long_options(self):
+        cfg = parse_args(["x", "--saveType=png", "--newShort=256", "--classFolder"])
+        assert cfg.save_type == "png"
+        assert cfg.new_short == 256
+        assert cfg.has_class
+
+    def test_help_returns_none(self):
+        assert parse_args(["--help"]) is None
+        assert parse_args([]) is None
+
+    def test_extensions(self):
+        cfg = parse_args(["x", "--pairBatch=8", "--numHosts=4", "--hostId=2"])
+        assert cfg.pair_batch == 8
+        assert cfg.num_hosts == 4 and cfg.host_id == 2
+
+
+class TestFlowJpg:
+    def test_end_to_end_values(self, vid, tmp_path, capsys):
+        path, (fx, fy) = vid
+        out = tmp_path / "out"
+        rc = main([path, f"-o={out}", "-s=1", "-b=8", "--pairBatch=4"])
+        assert rc == 0
+        files_x = sorted((out / "v").glob("flow_x_*.jpg"))
+        files_y = sorted((out / "v").glob("flow_y_*.jpg"))
+        assert len(files_x) == len(files_y) == 8  # 9 frames - step
+        img = cv2.imread(str(files_x[4]), cv2.IMREAD_GRAYSCALE)
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(fx, 8)) < 4
+        img_y = cv2.imread(str(files_y[4]), cv2.IMREAD_GRAYSCALE)
+        assert abs(img_y[16:-16, 16:-16].mean() - _expected_quant(fy, 8)) < 4
+        summary = capsys.readouterr().out
+        assert "1 videos (9 frames, 8 tvl1 flows)" in summary
+
+    def test_step2_naming_and_magnitude(self, vid, tmp_path):
+        path, (fx, _) = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=2", "-b=8", "--pairBatch=4"]) == 0
+        files = sorted((out / "v").glob("flow_x_p2_*.jpg"))
+        assert len(files) == 7
+        img = cv2.imread(str(files[3]), cv2.IMREAD_GRAYSCALE)
+        # step=2 doubles the displacement
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(2 * fx, 8)) < 5
+
+    def test_negative_step(self, vid, tmp_path):
+        path, (fx, _) = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=-1", "-b=8", "--pairBatch=4"]) == 0
+        files = sorted((out / "v").glob("flow_x_m1_*.jpg"))
+        assert len(files) == 8
+        assert files[0].name == "flow_x_m1_00001.jpg"  # named by right frame
+        img = cv2.imread(str(files[3]), cv2.IMREAD_GRAYSCALE)
+        # backward flow: later -> earlier frame, displacement negated
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(-fx, 8)) < 4
+
+
+class TestFrameExtraction:
+    def test_step0_extracts_colored_frames(self, vid, tmp_path, capsys):
+        path, _ = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=0"]) == 0
+        files = sorted((out / "v").glob("img_*.jpg"))
+        assert [f.name for f in files][:2] == ["img_00000.jpg", "img_00001.jpg"]
+        assert len(files) == 9
+        img = cv2.imread(str(files[0]))
+        assert img.shape == (64, 80, 3)
+        assert "9 frames, 0 tvl1 flows" in capsys.readouterr().out
+
+    def test_step0_resize(self, vid, tmp_path):
+        path, _ = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=0", "-ns=32"]) == 0
+        img = cv2.imread(str(out / "v" / "img_00000.jpg"))
+        assert img.shape == (32, 40, 3)
+
+
+class TestSaveTypes:
+    def test_png(self, vid, tmp_path):
+        path, (fx, fy) = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=1", "-st=png", "--pairBatch=4"]) == 0
+        files = sorted((out / "v").glob("flow_*.png"))
+        assert len(files) == 8
+        img = cv2.imread(str(files[4]), cv2.IMREAD_UNCHANGED)
+        assert img.shape == (64, 80, 3)
+        # decode: channel 2 top rows hold bound_x/4
+        bx = float(img[0, 0, 2]) * 4
+        rec_x = (img[16:-16, 16:-16, 0].astype(np.float32) - 128.0) * bx / 128.0
+        assert abs(rec_x.mean() - fx) < 0.3
+
+    def test_h5(self, vid, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        path, (fx, fy) = vid
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=1", "-st=h5", "--pairBatch=4"]) == 0
+        h5file = out / "v.h5"
+        assert h5file.exists()
+        with h5py.File(h5file) as f:
+            keys = sorted(f.keys())
+            assert "flow_x_00004" in keys and "flow_y_00007" in keys
+            assert len(keys) == 16
+            fx_data = f["flow_x_00004"][:]
+            assert fx_data.dtype == np.float32
+            assert abs(fx_data[16:-16, 16:-16].mean() - fx) < 0.3
+
+
+class TestListModeAndResume:
+    def _setup_list(self, tmp_path, n=2):
+        vids = []
+        for i in range(n):
+            p, _ = make_translating_video(tmp_path / f"v{i}.avi", h=48, w=64, n=5, dx=1, seed=i)
+            vids.append(p)
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(vids) + "\n")
+        return lst, vids
+
+    def test_done_markers_written_and_respected(self, tmp_path, capsys):
+        lst, vids = self._setup_list(tmp_path)
+        out = tmp_path / "out"
+        assert main([str(lst), f"-o={out}", "-s=1", "--pairBatch=4"]) == 0
+        assert (out / ".done" / "v0").is_file()
+        assert (out / ".done" / "v1").is_file()
+        first = capsys.readouterr().out
+        assert "done video v0" in first
+        # rerun: everything skipped
+        assert main([str(lst), f"-o={out}", "-s=1", "-v", "--pairBatch=4"]) == 0
+        second = capsys.readouterr().out
+        assert "skip" in second
+        # like the reference, nothing runs and no summary prints when every
+        # video is already done (tools/denseflow.cpp:88-91)
+        assert "flows) processed" not in second
+
+    def test_force_redoes(self, tmp_path, capsys):
+        lst, vids = self._setup_list(tmp_path, n=1)
+        out = tmp_path / "out"
+        assert main([str(lst), f"-o={out}", "-s=1", "--pairBatch=4"]) == 0
+        capsys.readouterr()
+        assert main([str(lst), f"-o={out}", "-s=1", "-f", "--pairBatch=4"]) == 0
+        assert "1 videos (5 frames, 4 tvl1 flows)" in capsys.readouterr().out
+
+    def test_error_isolation(self, tmp_path, capsys):
+        lst, vids = self._setup_list(tmp_path, n=2)
+        # corrupt the first video
+        Path(vids[0]).write_bytes(b"not a video at all")
+        out = tmp_path / "out"
+        rc = main([str(lst), f"-o={out}", "-s=1", "--pairBatch=4"])
+        assert rc == 1  # reports failure...
+        assert (out / ".done" / "v1").is_file()  # ...but finished the rest
+        assert not (out / ".done" / "v0").exists()
+
+    def test_class_folder_output(self, tmp_path):
+        d = tmp_path / "Jump"
+        d.mkdir()
+        p, _ = make_translating_video(d / "a.avi", h=48, w=64, n=4, dx=1)
+        lst = tmp_path / "list.txt"
+        lst.write_text(p + "\n")
+        out = tmp_path / "out"
+        assert main([str(lst), f"-o={out}", "-s=1", "-cf", "--pairBatch=4"]) == 0
+        assert (out / "Jump" / "a" / "flow_x_00000.jpg").is_file()
+        assert (out / ".done" / "Jump" / "a").is_file()
+
+
+class TestFrameFolderInput:
+    def test_if_mode(self, vid, tmp_path):
+        path, (fx, _) = vid
+        # first extract frames, then run flow on the folder
+        out1 = tmp_path / "frames_out"
+        assert main([path, f"-o={out1}", "-s=0"]) == 0
+        folder = out1 / "v"
+        out2 = tmp_path / "flow_out"
+        assert main([str(folder), f"-o={out2}", "-s=1", "-if", "-b=8", "--pairBatch=4"]) == 0
+        files = sorted((out2 / "v").glob("flow_x_*.jpg"))
+        assert len(files) == 8
+        img = cv2.imread(str(files[4]), cv2.IMREAD_GRAYSCALE)
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(fx, 8)) < 5
