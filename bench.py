@@ -68,13 +68,14 @@ def bench_device_only(pair_batch: int = 16) -> float:
     )
     I0 = jax.device_put(base[:, 4 : 4 + h, 4 : 4 + w].astype(np.uint8))
     I1 = jax.device_put(base[:, 4 : 4 + h, 6 : 6 + w].astype(np.uint8))
-    # warmup/compile
-    solver(I0, I1)[0].block_until_ready()
+    # warmup/compile (np.asarray forces completion — block_until_ready is
+    # unreliable through the remote-device tunnel)
+    np.asarray(solver(I0, I1))
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = solver(I0, I1)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
     return n_rep * pair_batch / dt
 

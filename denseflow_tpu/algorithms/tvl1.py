@@ -62,13 +62,17 @@ class TVL1Params:
     # output path clips at ±bound (default 32) anyway.
     max_disp: int = 40
     # Run the primal-dual loop as a VMEM-resident Pallas kernel
-    # (kernels/tvl1_pallas.py). "auto": on for TPU backends, off for CPU.
+    # (kernels/tvl1_pallas.py). "auto" currently means OFF: with the
+    # dynamic-range warp sweep the XLA path is within ~6% of the kernel
+    # (156 vs 165 flows/s at 256p) while compiling in 7s instead of ~300s
+    # through the remote Mosaic compiler; flip to "on" per-job when the
+    # compile amortizes (long videos, fixed geometry).
     use_pallas: str = "auto"
 
 
 def _pallas_enabled(p: "TVL1Params") -> bool:
     if p.use_pallas == "auto":
-        return jax.default_backend() not in ("cpu",)
+        return False
     return p.use_pallas == "on"
 
 

@@ -108,6 +108,8 @@ class DeviceExecutor:
             frames = np.concatenate([frames, pad], axis=0)
         dev_frames = jax.device_put(frames)
 
+        # dispatch every sub-batch asynchronously first, then pull results —
+        # device compute overlaps the D2H transfers of finished batches
         outs = []
         for s in range(0, m, self.B):
             outs.append(self._step(dev_frames, s))

@@ -16,6 +16,12 @@ from denseflow_tpu.utils import Counters
 
 
 def extract_frames_only(cfg: FlowConfig, jobs: List[Job], counters: Counters) -> None:
+    try:
+        from denseflow_tpu import native
+
+        native_ok = native.available()
+    except Exception:
+        native_ok = False
     for job in jobs:
         try:
             src = open_source(job.video_path, cfg)
@@ -28,8 +34,17 @@ def extract_frames_only(cfg: FlowConfig, jobs: List[Job], counters: Counters) ->
         idx = 0
         while True:
             frames, is_open = src.read_batch(to_gray=False, max_frames=cfg.chunk_frames)
-            imgs = [encode_jpg(f) for f in frames]
-            write_images(imgs, f"{job.output_dir}/img", idx)
+            if native_ok and frames:
+                import numpy as np
+
+                paths = [
+                    f"{job.output_dir}/img_{idx + i:05d}.jpg"
+                    for i in range(len(frames))
+                ]
+                native.write_jpg_color_batch(np.stack(frames), paths)
+            else:
+                imgs = [encode_jpg(f) for f in frames]
+                write_images(imgs, f"{job.output_dir}/img", idx)
             idx += len(frames)
             if not is_open:
                 break

@@ -85,8 +85,7 @@ def _make_kernel(l_t: float, theta: float, taut: float, scaled_eps: float,
             n, u1, u2, p11, p12, p21, p22, _ = state
             # run `check_every` iterations per error evaluation
             s = (u1, u2, p11, p12, p21, p22, jnp.float32(0.0))
-            for _ in range(check_every):
-                s = one_iter(s)
+            s = jax.lax.fori_loop(0, check_every, lambda _, st: one_iter(st), s)
             u1, u2, p11, p12, p21, p22, err = s
             return (n + check_every, u1, u2, p11, p12, p21, p22, err)
 

@@ -178,26 +178,33 @@ def _resample_axis(
     lo = -max_disp - support + 1
     hi = max_disp + support
 
-    # replicate-pad once, then sweep shifts as dynamic slices inside a
-    # fori_loop — the loop body compiles once regardless of max_disp
+    # replicate-pad once for the full static range, then sweep shifts as
+    # dynamic slices inside a fori_loop — the body compiles once, and the
+    # loop runs only over the displacement range ACTUALLY present in the
+    # flow field (terms outside [min d, max d] have zero coefficients), so
+    # small motion costs a handful of passes instead of 2*max_disp+4
     pad_widths = [(0, 0)] * img.ndim
     pad_widths[axis] = (-lo, hi)
     padded = jnp.pad(img.astype(jnp.float32), pad_widths, mode="edge")
+
+    k_lo = jnp.clip(
+        jnp.floor(jnp.min(d)).astype(jnp.int32) - support + 1, lo, hi
+    )
+    k_hi = jnp.clip(jnp.ceil(jnp.max(d)).astype(jnp.int32) + support, lo, hi)
 
     out_shape = jnp.broadcast_shapes(img.shape, disp.shape)
     starts_base = [0] * img.ndim
     sizes = list(img.shape)
 
-    def body(i, out):
-        k = lo + i
+    def body(k, out):
         starts = list(starts_base)
-        starts[axis] = i  # padded offset: i = k - lo
+        starts[axis] = k - lo  # padded offset
         shifted = jax.lax.dynamic_slice(padded, starts, sizes)
         c = kernel(d - k.astype(jnp.float32))
         return out + c * shifted
 
     out = jnp.zeros(out_shape, jnp.float32)
-    return jax.lax.fori_loop(0, hi - lo + 1, body, out)
+    return jax.lax.fori_loop(k_lo, k_hi + 1, body, out)
 
 
 def warp_shift(

@@ -79,6 +79,14 @@ class Pipeline:
         self._frames_q: queue.Queue = queue.Queue(maxsize=QUEUE_DEPTH)
         self._flows_q: queue.Queue = queue.Queue(maxsize=QUEUE_DEPTH)
         self._abort = threading.Event()
+        # native (C++) threaded encode+write tier, if built — the Python
+        # cv2 path is the fallback (identical file grammar either way)
+        try:
+            from denseflow_tpu import native as _native
+
+            self._native = _native if _native.available() else None
+        except Exception:
+            self._native = None
 
     # ---------------- stage 1: decode ----------------
     def _load_frames(self) -> None:
@@ -209,21 +217,53 @@ class Pipeline:
         if item.payload is not None:
             if cfg.save_type == "jpg":
                 qx, qy = item.payload
-                imgs_x = [encode_jpg(qx[i]) for i in range(qx.shape[0])]
-                imgs_y = [encode_jpg(qy[i]) for i in range(qy.shape[0])]
-                write_flow_images(
-                    imgs_x, f"{item.output_dir}/flow_x", cfg.step, item.base_start
-                )
-                write_flow_images(
-                    imgs_y, f"{item.output_dir}/flow_y", cfg.step, item.base_start
-                )
+                if self._native is not None and qx.shape[0] > 0:
+                    from denseflow_tpu.io.writer import flow_file_name, step_base
+
+                    base = step_base(cfg.step)
+                    m = qx.shape[0]
+                    px = [
+                        f"{item.output_dir}/"
+                        + flow_file_name("flow_x", cfg.step, item.base_start + i + base)
+                        for i in range(m)
+                    ]
+                    py = [
+                        f"{item.output_dir}/"
+                        + flow_file_name("flow_y", cfg.step, item.base_start + i + base)
+                        for i in range(m)
+                    ]
+                    self._native.write_jpg_batch(qx, px)
+                    self._native.write_jpg_batch(qy, py)
+                else:
+                    imgs_x = [encode_jpg(qx[i]) for i in range(qx.shape[0])]
+                    imgs_y = [encode_jpg(qy[i]) for i in range(qy.shape[0])]
+                    write_flow_images(
+                        imgs_x, f"{item.output_dir}/flow_x", cfg.step, item.base_start
+                    )
+                    write_flow_images(
+                        imgs_y, f"{item.output_dir}/flow_y", cfg.step, item.base_start
+                    )
             elif cfg.save_type == "png":
-                pngs = [
-                    encode_png(item.payload[i]) for i in range(item.payload.shape[0])
-                ]
-                write_flow_images_png(
-                    pngs, f"{item.output_dir}/flow", cfg.step, item.base_start
-                )
+                if self._native is not None and item.payload.shape[0] > 0:
+                    from denseflow_tpu.io.writer import flow_file_name, step_base
+
+                    base = step_base(cfg.step)
+                    paths = [
+                        f"{item.output_dir}/"
+                        + flow_file_name(
+                            "flow", cfg.step, item.base_start + i + base, "png"
+                        )
+                        for i in range(item.payload.shape[0])
+                    ]
+                    self._native.write_png_batch(item.payload, paths)
+                else:
+                    pngs = [
+                        encode_png(item.payload[i])
+                        for i in range(item.payload.shape[0])
+                    ]
+                    write_flow_images_png(
+                        pngs, f"{item.output_dir}/flow", cfg.step, item.base_start
+                    )
             elif cfg.save_type == "h5":
                 flow = item.payload
                 write_hdf5(
