@@ -84,21 +84,17 @@ class DeviceExecutor:
 
         self._step = jax.jit(pair_step)
 
-    def run_chunk(self, frames: np.ndarray) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
-        """frames: (N, H, W) uint8 (halo included). Returns the payload for
-        the chunk's M = N - |step| pairs:
-        jpg -> (imgs_x, imgs_y) uint8 (M, H, W); png -> (M, H, W, 3) uint8;
-        h5 -> (M, H, W, 2) float32."""
+    def upload_chunk(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
+        """Pad/bucket host-side and start the async H2D upload.
+
+        Called from the decode stage so the wire transfer of chunk i+1
+        overlaps the device solve of chunk i (the reference overlaps decode
+        with compute but uploads synchronously per pair,
+        src/denseflow_gpu.cpp:317-318)."""
         n = frames.shape[0]
         m = n - abs(self.step)
         if m <= 0:
-            if self.save_type == "jpg":
-                e = np.empty((0, self.height, self.width), np.uint8)
-                return e, e
-            if self.save_type == "png":
-                return np.empty((0, self.height, self.width, 3), np.uint8)
-            return np.empty((0, self.height, self.width, 2), np.float32)
-
+            return frames
         # pad so every dynamic_slice start in [0, m) is in range, and bucket
         # the chunk length to bound recompiles
         need = m - 1 + self.B + abs(self.step)
@@ -106,13 +102,37 @@ class DeviceExecutor:
         if n_pad > n:
             pad = np.repeat(frames[-1:], n_pad - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
-        dev_frames = jax.device_put(frames)
+        return jax.device_put(frames)
 
-        # dispatch every sub-batch asynchronously first, then pull results —
-        # device compute overlaps the D2H transfers of finished batches
+    def run_chunk(
+        self, frames, n_frames: int
+    ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
+        """frames: (N', H, W) uint8, already padded/uploaded by
+        `upload_chunk` (a raw np array is accepted and uploaded here as a
+        fallback). n_frames: the chunk's REAL frame count incl. halo.
+        Returns the payload for the chunk's M = n_frames - |step| pairs:
+        jpg -> (imgs_x, imgs_y) uint8 (M, H, W); png -> (M, H, W, 3) uint8;
+        h5 -> (M, H, W, 2) float32."""
+        m = n_frames - abs(self.step)
+        if m <= 0:
+            if self.save_type == "jpg":
+                e = np.empty((0, self.height, self.width), np.uint8)
+                return e, e
+            if self.save_type == "png":
+                return np.empty((0, self.height, self.width, 3), np.uint8)
+            return np.empty((0, self.height, self.width, 2), np.float32)
+        if isinstance(frames, np.ndarray):
+            frames = self.upload_chunk(frames)
+
+        # dispatch every sub-batch asynchronously, starting each result's
+        # D2H copy as soon as it is dispatched — device compute of batch
+        # i+1 overlaps the wire transfer of batch i
         outs = []
         for s in range(0, m, self.B):
-            outs.append(self._step(dev_frames, s))
+            out = self._step(frames, s)
+            for leaf in jax.tree.leaves(out):
+                leaf.copy_to_host_async()
+            outs.append(out)
         if isinstance(outs[0], tuple):
             xs = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)[:m]
             ys = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)[:m]

@@ -46,7 +46,7 @@ def _make_kernel(l_t: float, theta: float, taut: float, scaled_eps: float,
         d_body = -1.0 / jnp.maximum(grad, _GRAD_EPS)
         grad_ok = grad > _GRAD_EPS
 
-        def one_iter(state):
+        def one_iter(state, with_err: bool):
             u1, u2, p11, p12, p21, p22, _ = state
             rho = rho_c + I1wx * u1 + I1wy * u2
             mul = jnp.where(
@@ -63,18 +63,25 @@ def _make_kernel(l_t: float, theta: float, taut: float, scaled_eps: float,
             # primal: u = v + theta * div(p)
             u1n = v1 + theta * _div(p11, p12)
             u2n = v2 + theta * _div(p21, p22)
-            err = jnp.sum((u1n - u1) ** 2 + (u2n - u2) ** 2)
-            # dual: p = (p + taut * grad(u)) / (1 + taut * |grad(u)|)
+            # the epsilon test is evaluated once per `check_every` block, so
+            # the full-plane reduction is only paid on the block's last
+            # iteration (the XLA-fidelity cadence pays it every iteration)
+            if with_err:
+                err = jnp.sum((u1n - u1) ** 2 + (u2n - u2) ** 2)
+            else:
+                err = state[-1]
+            # dual: p = (p + taut * grad(u)) / (1 + taut * |grad(u)|),
+            # divides folded into one reciprocal per flow component
             g1x = _fgx(u1n)
             g1y = _fgy(u1n)
             g2x = _fgx(u2n)
             g2y = _fgy(u2n)
-            ng1 = 1.0 + taut * jnp.sqrt(g1x * g1x + g1y * g1y)
-            ng2 = 1.0 + taut * jnp.sqrt(g2x * g2x + g2y * g2y)
-            p11n = (p11 + taut * g1x) / ng1
-            p12n = (p12 + taut * g1y) / ng1
-            p21n = (p21 + taut * g2x) / ng2
-            p22n = (p22 + taut * g2y) / ng2
+            r1 = pl.reciprocal(1.0 + taut * jnp.sqrt(g1x * g1x + g1y * g1y))
+            r2 = pl.reciprocal(1.0 + taut * jnp.sqrt(g2x * g2x + g2y * g2y))
+            p11n = (p11 + taut * g1x) * r1
+            p12n = (p12 + taut * g1y) * r1
+            p21n = (p21 + taut * g2x) * r2
+            p22n = (p22 + taut * g2y) * r2
             return u1n, u2n, p11n, p12n, p21n, p22n, err
 
         def cond(state):
@@ -83,9 +90,13 @@ def _make_kernel(l_t: float, theta: float, taut: float, scaled_eps: float,
 
         def body(state):
             n, u1, u2, p11, p12, p21, p22, _ = state
-            # run `check_every` iterations per error evaluation
+            # run `check_every` iterations per error evaluation; only the
+            # block's final iteration computes the error reduction
             s = (u1, u2, p11, p12, p21, p22, jnp.float32(0.0))
-            s = jax.lax.fori_loop(0, check_every, lambda _, st: one_iter(st), s)
+            s = jax.lax.fori_loop(
+                0, check_every - 1, lambda _, st: one_iter(st, False), s
+            )
+            s = one_iter(s, True)
             u1, u2, p11, p12, p21, p22, err = s
             return (n + check_every, u1, u2, p11, p12, p21, p22, err)
 

@@ -44,7 +44,8 @@ QUEUE_DEPTH = 3  # the reference's frames_gray_maxsize / flows_maxsize
 
 @dataclass
 class _ChunkItem:
-    frames: np.ndarray  # (N, H, W) uint8, halo included
+    frames: object  # (N', H, W) uint8 — device array (preferred) or np
+    n_frames: int  # real frame count incl. halo (N' may be padded)
     output_dir: str
     base_start: int
     last_buffer: bool
@@ -118,8 +119,20 @@ class Pipeline:
                         if chunk is None:
                             break
                         n_frames += len(chunk.frames) - chunk.halo
+                        # start the async H2D upload here so the wire
+                        # transfer overlaps the previous chunk's solve
+                        frames = chunk.frames
+                        try:
+                            ex = get_executor(
+                                cfg.algorithm, h, w, cfg.step, cfg.bound,
+                                cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
+                            )
+                            frames = ex.upload_chunk(frames)
+                        except Exception:
+                            pass  # compute stage falls back to uploading
                         item = _ChunkItem(
-                            frames=chunk.frames,
+                            frames=frames,
+                            n_frames=len(chunk.frames),
                             output_dir=job.output_dir,
                             base_start=chunk.base_start,
                             last_buffer=chunk.last,
@@ -164,7 +177,7 @@ class Pipeline:
                         cfg.chunk_frames,
                     )
                     with self.timers.track("compute"):
-                        payload = ex.run_chunk(item.frames)
+                        payload = ex.run_chunk(item.frames, item.n_frames)
                     m = (
                         payload[0].shape[0]
                         if isinstance(payload, tuple)
