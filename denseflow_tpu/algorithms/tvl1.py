@@ -61,19 +61,32 @@ class TVL1Params:
     # limit, but 40px at 256p covers typical video motion and the jpg
     # output path clips at ±bound (default 32) anyway.
     max_disp: int = 40
-    # Run the primal-dual loop as a VMEM-resident Pallas kernel
-    # (kernels/tvl1_pallas.py). "auto" currently means OFF: with the
-    # dynamic-range warp sweep the XLA path is within ~6% of the kernel
-    # (156 vs 165 flows/s at 256p) while compiling in 7s instead of ~300s
-    # through the remote Mosaic compiler; flip to "on" per-job when the
-    # compile amortizes (long videos, fixed geometry).
+    # Kernel selection for the hot loop:
+    #   "fused"   — per-scale Pallas kernel: warp sweep + primal-dual loop,
+    #               all VMEM-resident (kernels/tvl1_fused.py). Fastest: the
+    #               XLA path's bottleneck is the warp sweep streaming the
+    #               image stack through HBM per shift.
+    #   "iterate" — Pallas kernel for the primal-dual loop only
+    #               (kernels/tvl1_pallas.py); warp stays in XLA.
+    #   "on"      — alias for "iterate" (back-compat).
+    #   "off"     — pure XLA (lax.while_loop); the CPU / oracle path.
+    #   "auto"    — "fused" on TPU when one pair's working set fits VMEM
+    #               (kernels/tvl1_fused.fits_vmem), else "off".
     use_pallas: str = "auto"
 
 
-def _pallas_enabled(p: "TVL1Params") -> bool:
+def _pallas_mode(p: "TVL1Params", h: int, w: int) -> str:
     if p.use_pallas == "auto":
-        return False
-    return p.use_pallas == "on"
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu":
+            return "off"
+        from denseflow_tpu.kernels.tvl1_fused import fits_vmem
+
+        return "fused" if fits_vmem(h, w) else "off"
+    if p.use_pallas == "on":
+        return "iterate"
+    return p.use_pallas
 
 
 def _solve_one_scale(
@@ -83,6 +96,7 @@ def _solve_one_scale(
     u2: jnp.ndarray,
     p: TVL1Params,
     max_disp: int,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run warps x iterations at a single pyramid level. All (B, H, W)."""
     l_t = p.lambda_ * p.theta
@@ -91,6 +105,23 @@ def _solve_one_scale(
     scaled_eps = jnp.float32(p.epsilon * p.epsilon * area)
 
     I1x, I1y = centered_gradient(I1)
+
+    mode = "fused" if interpret else _pallas_mode(p, I0.shape[-2], I0.shape[-1])
+    if mode == "fused":
+        from denseflow_tpu.kernels.tvl1_fused import tvl1_scale_fused
+
+        return tvl1_scale_fused(
+            I0, I1, I1x, I1y, u1, u2,
+            l_t=float(l_t),
+            theta=float(p.theta),
+            taut=float(taut),
+            epsilon=float(p.epsilon),
+            iterations=int(p.iterations),
+            warps=int(p.warps),
+            max_disp=float(max_disp),
+            check_every=int(p.check_every),
+            interpret=interpret,
+        )
 
     p11 = jnp.zeros_like(u1)
     p12 = jnp.zeros_like(u1)
@@ -109,7 +140,7 @@ def _solve_one_scale(
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1_0 - I1wy * u2_0 - I0
 
-        if _pallas_enabled(p):
+        if mode == "iterate":
             from denseflow_tpu.kernels.tvl1_pallas import tvl1_iterate_pallas
 
             u1n, u2n, p11n, p12n, p21n, p22n = tvl1_iterate_pallas(
@@ -179,8 +210,17 @@ def _solve_one_scale(
     return u1, u2
 
 
-def tvl1_flow(I0: jnp.ndarray, I1: jnp.ndarray, params: TVL1Params) -> jnp.ndarray:
-    """I0, I1: (B, H, W) float32 in 0..255 -> flow (B, H, W, 2) float32."""
+def tvl1_flow(
+    I0: jnp.ndarray,
+    I1: jnp.ndarray,
+    params: TVL1Params,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """I0, I1: (B, H, W) float32 in 0..255 -> flow (B, H, W, 2) float32.
+
+    interpret=True forces the fused Pallas kernel through the Pallas
+    interpreter (CPU) — used by tests to exercise the TPU kernel's math
+    without a chip."""
     h, w = I0.shape[-2], I0.shape[-1]
     shapes = pyramid_shapes(h, w, params.scale_step, params.nscales, params.min_size)
     pyr0 = build_pyramid(I0, shapes)
@@ -193,7 +233,9 @@ def tvl1_flow(I0: jnp.ndarray, I1: jnp.ndarray, params: TVL1Params) -> jnp.ndarr
         # displacement bound scales with the level resolution: motion of
         # max_disp px at the finest level is max_disp * (w_lvl/w_0) here
         d_lvl = max(4, int(round(params.max_disp * shapes[lvl][1] / shapes[0][1])))
-        u1, u2 = _solve_one_scale(pyr0[lvl], pyr1[lvl], u1, u2, params, d_lvl)
+        u1, u2 = _solve_one_scale(
+            pyr0[lvl], pyr1[lvl], u1, u2, params, d_lvl, interpret
+        )
         if lvl > 0:
             nh, nw = shapes[lvl - 1]
             u1 = resize_bilinear(u1, (nh, nw)) * inv

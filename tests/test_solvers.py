@@ -61,6 +61,25 @@ class TestTVL1:
         flow = np.asarray(solver(I0[None], I0[None]))[0]
         assert np.abs(flow).max() < 0.05
 
+    def test_fused_kernel_matches_xla_path(self):
+        """The fused Pallas kernel (interpret mode on CPU) must agree with
+        the pure-XLA solver, including the VMEM padding path: 64x80 pads
+        to 64x128 and every pyramid level is lane-unaligned."""
+        import jax.numpy as jnp
+
+        from denseflow_tpu.algorithms.tvl1 import tvl1_flow
+
+        dx, dy = 1.7, -0.8
+        I0, I1 = _translated_pair(dx=dx, dy=dy)
+        p = TVL1Params(iterations=60, use_pallas="off")
+        I0f = jnp.asarray(I0[None], jnp.float32)
+        I1f = jnp.asarray(I1[None], jnp.float32)
+        ref = np.asarray(tvl1_flow(I0f, I1f, p))[0]
+        fused = np.asarray(tvl1_flow(I0f, I1f, p, interpret=True))[0]
+        d = np.abs(fused - ref)
+        assert d.mean() < 0.03
+        assert _central_epe(fused, dx, dy) < 0.2
+
     def test_fast_preset_registry(self):
         I0, I1 = _translated_pair(dx=2.0, dy=0.0)
         solver = make_solver("nv", 64, 80)
