@@ -71,13 +71,18 @@ def bench_device_only(pair_batch: int = 16) -> float:
     # warmup/compile (np.asarray forces completion — block_until_ready is
     # unreliable through the remote-device tunnel)
     np.asarray(solver(I0, I1))
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = solver(I0, I1)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-    return n_rep * pair_batch / dt
+    # best-of-3: the remote-device tunnel adds multi-second noise spikes,
+    # so a single timing can under-report by 2x
+    best = 0.0
+    for _ in range(3):
+        n_rep = 5
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = solver(I0, I1)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        best = max(best, n_rep * pair_batch / dt)
+    return best
 
 
 def bench_pipeline(pair_batch: int = 16) -> dict:
@@ -103,16 +108,21 @@ def bench_pipeline(pair_batch: int = 16) -> dict:
     if rc != 0:
         raise RuntimeError("warmup pipeline run failed")
 
-    t0 = time.perf_counter()
-    rc = main(
-        [video, f"-o={outdir}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
-         f"--pairBatch={pair_batch}"]
-    )
-    dt = time.perf_counter() - t0
-    if rc != 0:
-        raise RuntimeError("pipeline run failed")
+    # best-of-2 (tunnel noise, see bench_device_only)
+    best_dt = float("inf")
+    for _ in range(2):
+        shutil.rmtree(outdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        rc = main(
+            [video, f"-o={outdir}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
+             f"--pairBatch={pair_batch}"]
+        )
+        dt = time.perf_counter() - t0
+        if rc != 0:
+            raise RuntimeError("pipeline run failed")
+        best_dt = min(best_dt, dt)
     n_flows = N_FRAMES - 1
-    return {"flows_per_s": n_flows / dt, "seconds": dt, "flows": n_flows}
+    return {"flows_per_s": n_flows / best_dt, "seconds": best_dt, "flows": n_flows}
 
 
 def main_bench() -> None:

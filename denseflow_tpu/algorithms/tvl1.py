@@ -51,9 +51,11 @@ class TVL1Params:
     iterations: int = 300
     scale_step: float = 0.8
     # error check cadence: evaluate the epsilon stop every N iterations
-    # (1 = OpenCV-exact; 4 runs at most 3 harmless extra iterations past
-    # convergence while quartering the reduction cost)
-    check_every: int = 4
+    # (1 = OpenCV-exact; N runs at most N-1 harmless extra iterations past
+    # convergence while cutting the full-plane reduction cost N-fold).
+    # Measured on v5e at 256p: 16 is ~17% faster than 4 AND lower-EPE
+    # (the extra post-convergence iterations only help).
+    check_every: int = 16
     min_size: int = 16
     # Displacement clamp for the masked-shift warp (TPU-native, gather-free;
     # see ops/warp.py). Flows beyond ±max_disp px at the finest level stop
@@ -155,11 +157,11 @@ def _solve_one_scale(
             return (u1n, u2n, p11n, p12n, p21n, p22n), None
 
         def iter_cond(state):
-            _, _, _, _, _, _, err, n = state
-            return jnp.logical_and(n < p.iterations, err > scaled_eps)
+            _, _, _, _, _, _, active, n = state
+            return jnp.logical_and(n < p.iterations, jnp.any(active))
 
         def iter_body(state):
-            u1, u2, p11, p12, p21, p22, _, n = state
+            u1, u2, p11, p12, p21, p22, active, n = state
             rho = rho_c + I1wx * u1 + I1wy * u2
             # three-way thresholding on the data residual
             d1 = jnp.where(
@@ -184,20 +186,31 @@ def _solve_one_scale(
             v2 = u2 + d2
             u1n = v1 + p.theta * divergence(p11, p12)
             u2n = v2 + p.theta * divergence(p21, p22)
+            # per-pair convergence with FREEZE: a converged pair stops
+            # updating, so every pair's trajectory is independent of its
+            # batch-mates — outputs are invariant to batch/chunk grouping
+            # (the reference solves pairs serially, so coupling them
+            # through a shared stop test would change results with the
+            # batch size; the fused Pallas kernel is per-pair by
+            # construction)
             err = jnp.sum((u1n - u1) ** 2 + (u2n - u2) ** 2, axis=(-2, -1))
-            err = jnp.max(err)  # batch-max: iterate until every pair converges
+            act = active & (err > scaled_eps)
+            keep = active[:, None, None]
+            u1n = jnp.where(keep, u1n, u1)
+            u2n = jnp.where(keep, u2n, u2)
             # dual ascent
             g1x, g1y = forward_gradient(u1n)
             g2x, g2y = forward_gradient(u2n)
             ng1 = 1.0 + taut * jnp.sqrt(g1x * g1x + g1y * g1y)
             ng2 = 1.0 + taut * jnp.sqrt(g2x * g2x + g2y * g2y)
-            p11 = (p11 + taut * g1x) / ng1
-            p12 = (p12 + taut * g1y) / ng1
-            p21 = (p21 + taut * g2x) / ng2
-            p22 = (p22 + taut * g2y) / ng2
-            return (u1n, u2n, p11, p12, p21, p22, err, n + 1)
+            p11 = jnp.where(keep, (p11 + taut * g1x) / ng1, p11)
+            p12 = jnp.where(keep, (p12 + taut * g1y) / ng1, p12)
+            p21 = jnp.where(keep, (p21 + taut * g2x) / ng2, p21)
+            p22 = jnp.where(keep, (p22 + taut * g2y) / ng2, p22)
+            return (u1n, u2n, p11, p12, p21, p22, act, n + 1)
 
-        init = (u1, u2, p11, p12, p21, p22, jnp.float32(jnp.inf), jnp.int32(0))
+        init = (u1, u2, p11, p12, p21, p22,
+                jnp.ones((u1.shape[0],), bool), jnp.int32(0))
         u1, u2, p11, p12, p21, p22, _, _ = jax.lax.while_loop(
             iter_cond, iter_body, init
         )

@@ -104,40 +104,55 @@ class DeviceExecutor:
             frames = np.concatenate([frames, pad], axis=0)
         return jax.device_put(frames)
 
+    def iter_chunk(self, frames, n_frames: int):
+        """Yield (payload, pair_offset, n_pairs) per device sub-batch.
+
+        frames: (N', H, W) uint8, already padded/uploaded by
+        `upload_chunk` (a raw np array is accepted and uploaded here as a
+        fallback). n_frames: the chunk's REAL frame count incl. halo. The
+        chunk has M = n_frames - |step| pairs; every sub-batch is
+        dispatched asynchronously up front (device compute of batch i+1
+        overlaps the wire transfer of batch i), then results are yielded
+        in order as their D2H copies land — so the encode stage starts on
+        the first sub-batch while the rest still compute."""
+        m = n_frames - abs(self.step)
+        if m <= 0:
+            return
+        if isinstance(frames, np.ndarray):
+            frames = self.upload_chunk(frames)
+
+        outs = []
+        for s in range(0, m, self.B):
+            out = self._step(frames, s)
+            for leaf in jax.tree.leaves(out):
+                leaf.copy_to_host_async()
+            outs.append((out, s))
+        for out, s in outs:
+            n = min(self.B, m - s)
+            if isinstance(out, tuple):
+                yield (np.asarray(out[0])[:n], np.asarray(out[1])[:n]), s, n
+            else:
+                yield np.asarray(out)[:n], s, n
+
     def run_chunk(
         self, frames, n_frames: int
     ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
-        """frames: (N', H, W) uint8, already padded/uploaded by
-        `upload_chunk` (a raw np array is accepted and uploaded here as a
-        fallback). n_frames: the chunk's REAL frame count incl. halo.
-        Returns the payload for the chunk's M = n_frames - |step| pairs:
+        """Blocking form of `iter_chunk`: the whole chunk's payload at once.
         jpg -> (imgs_x, imgs_y) uint8 (M, H, W); png -> (M, H, W, 3) uint8;
         h5 -> (M, H, W, 2) float32."""
-        m = n_frames - abs(self.step)
-        if m <= 0:
+        outs = [p for p, _, _ in self.iter_chunk(frames, n_frames)]
+        if not outs:
             if self.save_type == "jpg":
                 e = np.empty((0, self.height, self.width), np.uint8)
                 return e, e
             if self.save_type == "png":
                 return np.empty((0, self.height, self.width, 3), np.uint8)
             return np.empty((0, self.height, self.width, 2), np.float32)
-        if isinstance(frames, np.ndarray):
-            frames = self.upload_chunk(frames)
-
-        # dispatch every sub-batch asynchronously, starting each result's
-        # D2H copy as soon as it is dispatched — device compute of batch
-        # i+1 overlaps the wire transfer of batch i
-        outs = []
-        for s in range(0, m, self.B):
-            out = self._step(frames, s)
-            for leaf in jax.tree.leaves(out):
-                leaf.copy_to_host_async()
-            outs.append(out)
         if isinstance(outs[0], tuple):
-            xs = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)[:m]
-            ys = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)[:m]
+            xs = np.concatenate([o[0] for o in outs], axis=0)
+            ys = np.concatenate([o[1] for o in outs], axis=0)
             return xs, ys
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:m]
+        return np.concatenate(outs, axis=0)
 
 
 @lru_cache(maxsize=16)

@@ -176,20 +176,31 @@ class Pipeline:
                         cfg.pair_batch,
                         cfg.chunk_frames,
                     )
+                    # stream sub-batches to the encode stage as each lands
+                    # so encoding overlaps the rest of the chunk's solve
+                    m_total = item.n_frames - abs(cfg.step)
+                    pushed = 0
                     with self.timers.track("compute"):
-                        payload = ex.run_chunk(item.frames, item.n_frames)
-                    m = (
-                        payload[0].shape[0]
-                        if isinstance(payload, tuple)
-                        else payload.shape[0]
-                    )
-                    self.counters.add_flows(m)
-                    self._flows_q.put(
-                        _FlowItem(
-                            payload, item.output_dir, item.base_start, item.last_buffer
+                        for payload, off, n in ex.iter_chunk(
+                            item.frames, item.n_frames
+                        ):
+                            self.counters.add_flows(n)
+                            pushed += n
+                            self._flows_q.put(
+                                _FlowItem(
+                                    payload,
+                                    item.output_dir,
+                                    item.base_start + off,
+                                    item.last_buffer and pushed >= m_total,
+                                )
+                            )
+                            self.log(f"flows queue push a item ({n} flows)")
+                    if item.last_buffer and m_total <= 0:
+                        # degenerate final chunk (fewer frames than |step|):
+                        # still forward a marker so .done logic runs
+                        self._flows_q.put(
+                            _FlowItem(None, item.output_dir, item.base_start, True)
                         )
-                    )
-                    self.log(f"flows queue push a item ({m} flows)")
                 except Exception:
                     self.errors.append(
                         _VideoError(item.output_dir, traceback.format_exc())

@@ -205,3 +205,53 @@ class TestFrameFolderInput:
         assert len(files) == 8
         img = cv2.imread(str(files[4]), cv2.IMREAD_GRAYSCALE)
         assert abs(img[16:-16, 16:-16].mean() - _expected_quant(fx, 8)) < 5
+
+
+class TestPipelineStress:
+    """SURVEY.md §5 race-detection strategy: the 3-stage pipeline must be
+    insensitive to stage timing. Inject randomized delays into the compute
+    and encode stages and vary the chunk size; every run must emit
+    byte-identical files."""
+
+    def _run(self, path, out, chunk):
+        rc = main(
+            [path, f"-o={out}", "-a=nv", "-s=1", "-b=8",
+             f"--chunkFrames={chunk}", "--pairBatch=2"]
+        )
+        assert rc == 0
+        files = sorted((Path(out) / "v").iterdir())
+        assert files, "no output emitted"
+        return {f.name: f.read_bytes() for f in files}
+
+    def test_randomized_stage_delays(self, tmp_path, monkeypatch):
+        import random
+        import time
+
+        import denseflow_tpu.executor as ex_mod
+        import denseflow_tpu.pipeline as pl_mod
+
+        path, _ = make_translating_video(tmp_path / "v.avi", h=48, w=64, n=12, dx=1)
+        clean = self._run(path, tmp_path / "clean", chunk=64)
+        # chunked run (several halo-carried chunks) must match unchunked
+        chunked = self._run(path, tmp_path / "chunked", chunk=5)
+        assert chunked == clean
+
+        for seed in (1, 2):
+            rnd = random.Random(seed)
+            orig_iter = ex_mod.DeviceExecutor.iter_chunk
+            orig_write = pl_mod.Pipeline._write_item
+
+            def slow_iter(self, frames, n_frames, _o=orig_iter, _r=rnd):
+                for item in _o(self, frames, n_frames):
+                    time.sleep(_r.uniform(0, 0.04))
+                    yield item
+
+            def slow_write(self, item, _o=orig_write, _r=rnd):
+                time.sleep(_r.uniform(0, 0.02))
+                _o(self, item)
+
+            with monkeypatch.context() as m:
+                m.setattr(ex_mod.DeviceExecutor, "iter_chunk", slow_iter)
+                m.setattr(pl_mod.Pipeline, "_write_item", slow_write)
+                jittered = self._run(path, tmp_path / f"jitter{seed}", chunk=5)
+            assert jittered == clean
