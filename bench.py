@@ -26,7 +26,9 @@ import time
 REFERENCE_TVL1_FLOWS_PER_S = 180.0  # see module docstring
 
 H_SRC, W_SRC = 360, 480  # short side 360 -> resized to 256 by -ns=256
-N_FRAMES = 200
+# long enough that fixed startup (~0.3s: thread spawn, video open, jit
+# cache probe) is amortized out of the steady-state flows/s
+N_FRAMES = 500
 BENCH_DIR = "/tmp/denseflow_tpu_bench"
 
 

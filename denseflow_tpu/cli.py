@@ -60,6 +60,7 @@ TPU extensions:
     --strict                   abort the whole run on the first bad video
     --hostId / --numHosts      shard a videolist across hosts
     --preset (value:)          solver preset override
+    --profile=DIR              capture a jax.profiler trace into DIR
 """
 
 # short/long aliases -> (config field, type); bool fields are presence flags
@@ -94,6 +95,7 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "hostId": ("host_id", int),
     "numHosts": ("num_hosts", int),
     "preset": ("preset", str),
+    "profile": ("profile_dir", str),
 }
 
 _TRUE = ("", "true", "1", "yes")
@@ -134,6 +136,10 @@ def run(cfg: FlowConfig) -> int:
         return 0
     cfg.validate_paths([j.video_path for j in jobs], [j.output_dir for j in jobs])
 
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
     start_t = current_seconds()
     if cfg.step == 0:
         counters = Counters()
@@ -147,6 +153,10 @@ def run(cfg: FlowConfig) -> int:
         if cfg.verbose and pipe.timers.totals:
             print(f"stage times: {pipe.timers.summary()}")
     end_t = current_seconds()
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     print(
         format_summary(
             len(jobs),

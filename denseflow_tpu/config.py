@@ -56,6 +56,11 @@ class FlowConfig:
     strict: bool = False
     # Optional solver-preset override, e.g. fewer TVL1 iterations.
     preset: Optional[str] = None
+    # Capture a jax.profiler trace of the run into this directory
+    # (view with TensorBoard / xprof). The reference's only profiling aid
+    # is the -v queue-event log (reference src/denseflow_gpu.cpp:192-199);
+    # this is the TPU-native equivalent with full XLA/host timelines.
+    profile_dir: Optional[str] = None
     # Device batch count per algorithm invocation is padded to this multiple
     # to bound XLA recompilation across ragged tail chunks.
     # Host-side sharding (multi-process): assign videos round-robin by index.
