@@ -192,6 +192,67 @@ class TestListModeAndResume:
         assert (out / ".done" / "Jump" / "a").is_file()
 
 
+class TestCrashRestart:
+    """SURVEY.md §4 fault-injection strategy: hard-kill a list job mid-run
+    (a real SIGKILL-style os._exit inside the writer stage), rerun, and the
+    union of outputs must be byte-identical to an uninterrupted run — the
+    `.done`-marker resume makes crashes idempotent at video granularity."""
+
+    def test_kill_midlist_rerun_matches_clean(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        vids = []
+        for i in range(3):
+            p, _ = make_translating_video(
+                tmp_path / f"v{i}.avi", h=48, w=64, n=5, dx=1, seed=i
+            )
+            vids.append(p)
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(vids) + "\n")
+
+        def snapshot(out):
+            return {
+                p.relative_to(out).as_posix(): p.read_bytes()
+                for p in Path(out).rglob("*")
+                if p.is_file() and ".done" not in p.parts
+            }
+
+        clean = tmp_path / "clean"
+        assert main([str(lst), f"-o={clean}", "-s=1", "--pairBatch=4"]) == 0
+
+        # crash run: os._exit(9) right after the first video's .done marker
+        # lands — no queue drain, no atexit, like a preempted host
+        crash_out = tmp_path / "crash"
+        script = f"""
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins TPU; env alone is ignored
+import denseflow_tpu.pipeline as pl
+real = pl.mark_done
+def dying_mark_done(*a, **kw):
+    real(*a, **kw)
+    os._exit(9)
+pl.mark_done = dying_mark_done
+from denseflow_tpu.cli import main
+main([{str(lst)!r}, "-o={crash_out}", "-s=1", "--pairBatch=4"])
+"""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [_sys.executable, "-c", script], cwd="/root/repo", env=env,
+            capture_output=True, timeout=300,
+        )
+        assert proc.returncode == 9, proc.stderr.decode()[-500:]
+        done = list((crash_out / ".done").iterdir())
+        assert len(done) == 1  # exactly one video completed
+
+        # restart: completed video skipped, the rest (incl. any partial
+        # output) redone; final tree must match the uninterrupted run
+        assert main([str(lst), f"-o={crash_out}", "-s=1", "--pairBatch=4"]) == 0
+        assert snapshot(crash_out) == snapshot(clean)
+        assert len(list((crash_out / ".done").iterdir())) == 3
+
+
 class TestFrameFolderInput:
     def test_if_mode(self, vid, tmp_path):
         path, (fx, _) = vid
