@@ -48,8 +48,9 @@ class FlowConfig:
     # (reference include/dense_flow.h:95); we default much smaller so the
     # decode / compute / encode stages actually overlap on short videos —
     # a 200-frame video in one 512-frame chunk serializes the pipeline.
-    # Measured on v5e at 256p: 512 -> 104 flows/s, 96 -> 132-160 flows/s.
-    chunk_frames: int = 96
+    # Measured on v5e at 256p (500-frame video): 512 -> 158 flows/s,
+    # 96 -> 175, 128 -> 191 flows/s.
+    chunk_frames: int = 128
     # Continue past a broken video instead of aborting the whole list job
     # (the reference aborts: single try/catch in main,
     # reference tools/denseflow.cpp:93-96). `strict=True` restores that.
