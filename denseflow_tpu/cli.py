@@ -58,7 +58,13 @@ TPU extensions:
     --pairBatch (value:16)     frame pairs solved per device invocation
     --chunkFrames (value:512)  max frames decoded per chunk
     --strict                   abort the whole run on the first bad video
-    --hostId / --numHosts      shard a videolist across hosts
+    --hostId / --numHosts      shard a videolist across hosts (manual)
+    --distributed              init jax.distributed on a pod slice: host id /
+                               count come from the slice, the videolist is
+                               sharded automatically, and host 0 prints a
+                               pod-global summary (one counter all-reduce)
+    --coordinator=HOST:PORT    jax.distributed coordinator (with --distributed
+                               outside TPU auto-detection environments)
     --preset (value:)          solver preset override
     --profile=DIR              capture a jax.profiler trace into DIR
 """
@@ -96,6 +102,8 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "numHosts": ("num_hosts", int),
     "preset": ("preset", str),
     "profile": ("profile_dir", str),
+    "distributed": ("distributed", bool),
+    "coordinator": ("coordinator", str),
 }
 
 _TRUE = ("", "true", "1", "yes")
@@ -131,6 +139,12 @@ def parse_args(argv: List[str]) -> Optional[FlowConfig]:
 
 def run(cfg: FlowConfig) -> int:
     cfg.validate()
+    if cfg.distributed:
+        from denseflow_tpu.parallel.distributed import init_distributed
+
+        cfg.host_id, cfg.num_hosts = init_distributed(
+            coordinator_address=cfg.coordinator or None
+        )
     jobs, is_record = expand_jobs(cfg)
     if not jobs:
         return 0
@@ -157,15 +171,19 @@ def run(cfg: FlowConfig) -> int:
         import jax
 
         jax.profiler.stop_trace()
-    print(
-        format_summary(
-            len(jobs),
-            counters.total_frames,
-            counters.total_flows,
-            cfg.algorithm,
-            end_t - start_t,
+    n_videos, n_frames, n_flows = len(jobs), counters.total_frames, counters.total_flows
+    print_it = True
+    if cfg.distributed:
+        from denseflow_tpu.parallel.distributed import allreduce_counters
+
+        n_videos, n_frames, n_flows = allreduce_counters(counters)
+        print_it = cfg.host_id == 0  # pod-global summary once, from host 0
+    if print_it:
+        print(
+            format_summary(
+                n_videos, n_frames, n_flows, cfg.algorithm, end_t - start_t
+            )
         )
-    )
     if errors:
         print(f"{len(errors)} video(s) failed:", file=sys.stderr)
         for e in errors:

@@ -175,7 +175,7 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
             p22n = (p22 + taut * g2y) * r2
             return u1n, u2n, p11n, p12n, p21n, p22n, err
 
-        def warp_body(wi, carry):
+        def warp_body(carry):
             u1, u2, p11, p12, p21, p22 = carry
             t1, t1x, t1y = resample3(I1, I1x, I1y, u2, 0)
             I1w, I1wx, I1wy = resample3(t1, t1x, t1y, u1, 1)
@@ -203,14 +203,35 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
             init = (jnp.int32(0), u1, u2, p11, p12, p21, p22,
                     jnp.float32(jnp.inf))
             final = jax.lax.while_loop(cond, body, init)
-            return final[1:-1]
+            # warp-level early exit: the loop stopping at its FIRST epsilon
+            # check means this warp left u (nearly) unchanged — u is a fixed
+            # point of the warp+iterate map, so the remaining warps would
+            # no-op within the same epsilon ball the reference's per-warp
+            # iteration stop already accepts. Skipping them only drops
+            # sub-epsilon updates but saves their full warp sweeps.
+            converged = jnp.logical_and(
+                final[0] <= check_every, final[-1] <= scaled_eps
+            )
+            return final[1:-1], converged
 
         z = jnp.zeros(shape, jnp.float32)
         carry = (jnp.where(real, u1_ref[0], 0.0),
                  jnp.where(real, u2_ref[0], 0.0), z, z, z, z)
-        carry = jax.lax.fori_loop(0, warps, warp_body, carry)
-        u1_out[0] = carry[0]
-        u2_out[0] = carry[1]
+
+        def wcond(state):
+            wi, done = state[0], state[1]
+            return jnp.logical_and(wi < warps, jnp.logical_not(done))
+
+        def wbody(state):
+            wi, _, carry = state[0], state[1], state[2:]
+            carry, converged = warp_body(carry)
+            return (wi + 1, converged) + carry
+
+        final = jax.lax.while_loop(
+            wcond, wbody, (jnp.int32(0), jnp.bool_(False)) + carry
+        )
+        u1_out[0] = final[2]
+        u2_out[0] = final[3]
 
     return kernel
 

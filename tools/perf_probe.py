@@ -72,3 +72,36 @@ elif cfgs == "c":
     # dispatch floor: trivial solver
     p0 = TVL1Params(nscales=1, warps=1, iterations=1)
     bench("floor: nscales=1 warps=1 iters=1", p0)
+elif cfgs == "d":
+    # piecewise attribution of the per-pair cost
+    import jax.numpy as jnp
+    from denseflow_tpu.ops.pyramid import build_pyramid
+    from denseflow_tpu.algorithms.tvl1 import tvl1_flow
+
+    shapes = pyramid_shapes(H, W, 0.8, 5, 16)
+
+    @jax.jit
+    def pyr_only(a, b):
+        p0 = build_pyramid(a.astype(jnp.float32), shapes)
+        p1 = build_pyramid(b.astype(jnp.float32), shapes)
+        return sum(x[:, 0, 0] for x in p0) + sum(x[:, 0, 0] for x in p1)
+
+    def timeit(tag, fn, *args, n_rep=5):
+        np.asarray(fn(*args))
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_rep):
+                out = fn(*args)
+            np.asarray(out)
+            best = max(best, n_rep * B / (time.perf_counter() - t0))
+        print(f"{tag:44s} {best:8.2f} flows/s  ({1000*B/best:.2f} ms/pair/...)", flush=True)
+        return best
+
+    timeit("pyramid build only (both images)", pyr_only, I0, I1)
+    for k in (1, 2, 3, 4, 5):
+        p = TVL1Params(nscales=k)
+        f = jax.jit(lambda a, b, p=p: tvl1_flow(
+            a.astype(jnp.float32), b.astype(jnp.float32), p))
+        timeit(f"full solve, nscales={k}", f, I0, I1)
