@@ -67,6 +67,15 @@ class FlowConfig:
     # Host-side sharding (multi-process): assign videos round-robin by index.
     host_id: int = 0
     num_hosts: int = 1
+    # Pod-slice mode: initialize jax.distributed, derive host_id/num_hosts
+    # from the slice, shard the videolist automatically, and have host 0
+    # print a pod-global summary (one counter all-reduce). Replaces the
+    # reference's manual split-videolist-per-GPU workflow
+    # (reference tools/denseflow.cpp:51-91, README.md:11).
+    distributed: bool = False
+    # jax.distributed coordinator address (HOST:PORT) for --distributed
+    # outside TPU auto-detection environments.
+    coordinator: str = ""
 
     def validate(self) -> None:
         """Raise ValueError on any violation of the reference's rules
