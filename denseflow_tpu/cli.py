@@ -65,7 +65,9 @@ TPU extensions:
                                pod-global summary (one counter all-reduce)
     --coordinator=HOST:PORT    jax.distributed coordinator (with --distributed
                                outside TPU auto-detection environments)
-    --preset (value:)          solver preset override
+    --preset (value:)          solver preset: default / fast / quality
+    --devices (value:0)        local chips to shard pair batches over
+                               (0 = all local devices)
     --profile=DIR              capture a jax.profiler trace into DIR
 """
 
@@ -101,6 +103,7 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "hostId": ("host_id", int),
     "numHosts": ("num_hosts", int),
     "preset": ("preset", str),
+    "devices": ("devices", int),
     "profile": ("profile_dir", str),
     "distributed": ("distributed", bool),
     "coordinator": ("coordinator", str),

@@ -55,8 +55,13 @@ class FlowConfig:
     # (the reference aborts: single try/catch in main,
     # reference tools/denseflow.cpp:93-96). `strict=True` restores that.
     strict: bool = False
-    # Optional solver-preset override, e.g. fewer TVL1 iterations.
+    # Solver-hyperparameter preset: default (reference-exact) / fast /
+    # quality — see algorithms.solver_params.
     preset: Optional[str] = None
+    # Local chips to data-parallelize pair batches over (0 = all of
+    # jax.local_devices()). The reference is hardcoded single-GPU
+    # (setDevice(0), reference src/denseflow_gpu.cpp:482).
+    devices: int = 0
     # Capture a jax.profiler trace of the run into this directory
     # (view with TensorBoard / xprof). The reference's only profiling aid
     # is the -v queue-event log (reference src/denseflow_gpu.cpp:192-199);
@@ -94,6 +99,12 @@ class FlowConfig:
             )
         if self.pair_batch <= 0:
             raise ValueError("pair_batch should > 0!")
+        if self.devices < 0:
+            raise ValueError("devices cannot < 0!")
+        if self.preset:
+            from denseflow_tpu.algorithms import solver_params
+
+            solver_params(self.algorithm, self.preset)  # raises on unknown
         if self.chunk_frames <= abs(self.step):
             raise ValueError("chunk_frames must exceed |step|")
         if not (0 <= self.host_id < self.num_hosts):

@@ -11,7 +11,15 @@ This is the TPU-side replacement for the reference's compute thread
   slice from them (the reference uploads each frame pair separately,
   src/denseflow_gpu.cpp:317-318);
 * chunk lengths are bucketed to a few static sizes so XLA compiles a
-  handful of programs per video geometry instead of one per chunk.
+  handful of programs per video geometry instead of one per chunk;
+* with more than one local device, the pair batch is **data-parallel over a
+  1-D `pairs` mesh** via `shard_map`: the chunk is replicated to every chip
+  (cheap — uint8 frames), each chip slices and solves its own B/N sub-batch
+  (no collectives — pairs share nothing, reference src/denseflow_gpu.cpp:313-341),
+  and results gather on the host D2H. Replaces the reference's
+  hardcoded single device (setDevice(0), src/denseflow_gpu.cpp:482).
+  Per-pair convergence freezing makes results byte-identical to the
+  single-device path (see algorithms/tvl1.py).
 
 Pair indexing matches the reference (src/denseflow_gpu.cpp:315-316):
 a = step>0 ? i : i-step, b = step>0 ? i+step : i, flow computed a -> b.
@@ -25,6 +33,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from denseflow_tpu.algorithms import make_solver
 from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
@@ -52,28 +61,35 @@ class DeviceExecutor:
         save_type: str,
         pair_batch: int,
         chunk_capacity: int,
+        preset: "str | None" = None,
+        n_devices: int = 0,
     ) -> None:
         self.height = height
         self.width = width
         self.step = step
         self.bound = float(bound)
         self.save_type = save_type
-        self.B = pair_batch
+        devs = jax.local_devices()
+        if n_devices > 0:
+            devs = devs[:n_devices]
+        self.n_dev = len(devs)
+        # global pair batch: a multiple of the mesh size so every chip gets
+        # an equal sub-batch
+        self.B = -(-pair_batch // self.n_dev) * self.n_dev
         self.chunk_capacity = chunk_capacity + abs(step)
-        solver = make_solver(algorithm, height, width)
+        solver = make_solver(algorithm, height, width, preset)
         astep = abs(step)
         off_a = 0 if step > 0 else astep
         off_b = step if step > 0 else 0
-        B = self.B
         bound_f = self.bound
 
-        def pair_step(frames: jnp.ndarray, s: jnp.ndarray):
-            """frames: (N, H, W) uint8 resident chunk; s: scalar start pair."""
+        def solve_slice(frames: jnp.ndarray, s, n_pairs: int):
+            """Solve pairs [s, s+n_pairs) of the resident (N, H, W) chunk."""
             I0 = jax.lax.dynamic_slice(
-                frames, (s + off_a, 0, 0), (B, height, width)
+                frames, (s + off_a, 0, 0), (n_pairs, height, width)
             )
             I1 = jax.lax.dynamic_slice(
-                frames, (s + off_b, 0, 0), (B, height, width)
+                frames, (s + off_b, 0, 0), (n_pairs, height, width)
             )
             flow = solver(I0, I1)
             if save_type == "jpg":
@@ -82,7 +98,39 @@ class DeviceExecutor:
                 return quantize_flow_png(flow)
             return flow  # h5: raw float32
 
-        self._step = jax.jit(pair_step)
+        if self.n_dev == 1:
+            self._sharding = None
+            self._step = jax.jit(lambda frames, s: solve_slice(frames, s, self.B))
+        else:
+            # Data-parallel over pairs: chunk replicated to every chip, each
+            # chip solves its own contiguous B/N sub-batch (offset by its
+            # mesh coordinate); outputs concatenate along the pair axis.
+            # No collectives — pairs are independent.
+            from jax import shard_map
+
+            mesh = Mesh(np.asarray(devs), ("pairs",))
+            self._sharding = NamedSharding(mesh, P())  # replicated chunk
+            B_local = self.B // self.n_dev
+
+            def pair_step_local(frames: jnp.ndarray, s):
+                r = jax.lax.axis_index("pairs")
+                return solve_slice(frames, s + r * B_local, B_local)
+
+            out_spec = (
+                (P("pairs"), P("pairs")) if save_type == "jpg" else P("pairs")
+            )
+            # check_vma off: the carry mixes replicated inputs with values
+            # made device-varying by axis_index, which the static
+            # varying-axis checker can't type through lax.while_loop
+            self._step = jax.jit(
+                shard_map(
+                    pair_step_local,
+                    mesh=mesh,
+                    in_specs=(P(), P()),
+                    out_specs=out_spec,
+                    check_vma=False,
+                )
+            )
 
     def upload_chunk(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
         """Pad/bucket host-side and start the async H2D upload.
@@ -102,6 +150,8 @@ class DeviceExecutor:
         if n_pad > n:
             pad = np.repeat(frames[-1:], n_pad - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
+        if self._sharding is not None:
+            return jax.device_put(frames, self._sharding)
         return jax.device_put(frames)
 
     def iter_chunk(self, frames, n_frames: int):
@@ -165,7 +215,10 @@ def get_executor(
     save_type: str,
     pair_batch: int,
     chunk_capacity: int,
+    preset: "str | None" = None,
+    n_devices: int = 0,
 ) -> DeviceExecutor:
     return DeviceExecutor(
-        algorithm, height, width, step, bound, save_type, pair_batch, chunk_capacity
+        algorithm, height, width, step, bound, save_type, pair_batch,
+        chunk_capacity, preset, n_devices,
     )

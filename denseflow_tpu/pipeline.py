@@ -126,10 +126,14 @@ class Pipeline:
                             ex = get_executor(
                                 cfg.algorithm, h, w, cfg.step, cfg.bound,
                                 cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
+                                cfg.preset, cfg.devices,
                             )
                             frames = ex.upload_chunk(frames)
-                        except Exception:
-                            pass  # compute stage falls back to uploading
+                        except Exception as e:
+                            # compute stage falls back to uploading; a real
+                            # device fault will resurface there as a video
+                            # error — but don't hide it from -v
+                            self.log(f"async upload failed, deferring: {e!r}")
                         item = _ChunkItem(
                             frames=frames,
                             n_frames=len(chunk.frames),
@@ -175,6 +179,8 @@ class Pipeline:
                         cfg.save_type,
                         cfg.pair_batch,
                         cfg.chunk_frames,
+                        cfg.preset,
+                        cfg.devices,
                     )
                     # stream sub-batches to the encode stage as each lands
                     # so encoding overlaps the rest of the chunk's solve

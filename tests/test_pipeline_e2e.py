@@ -74,6 +74,19 @@ class TestFlowJpg:
         # step=2 doubles the displacement
         assert abs(img[16:-16, 16:-16].mean() - _expected_quant(2 * fx, 8)) < 5
 
+    @pytest.mark.parametrize("alg", ["farn", "brox", "nv"])
+    def test_other_algorithms_end_to_end(self, alg, vid, tmp_path):
+        """Every algorithm the reference dispatches (src/denseflow_gpu.cpp:285-304)
+        runs through the full pipeline and tracks the known translation."""
+        path, (fx, fy) = vid
+        out = tmp_path / "out"
+        rc = main([path, f"-o={out}", f"-a={alg}", "-s=1", "-b=8", "--pairBatch=4"])
+        assert rc == 0
+        files_x = sorted((out / "v").glob("flow_x_*.jpg"))
+        assert len(files_x) == 8
+        img = cv2.imread(str(files_x[4]), cv2.IMREAD_GRAYSCALE)
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(fx, 8)) < 8
+
     def test_negative_step(self, vid, tmp_path):
         path, (fx, _) = vid
         out = tmp_path / "out"
@@ -251,6 +264,45 @@ main([{str(lst)!r}, "-o={crash_out}", "-s=1", "--pairBatch=4"])
         assert main([str(lst), f"-o={crash_out}", "-s=1", "--pairBatch=4"]) == 0
         assert snapshot(crash_out) == snapshot(clean)
         assert len(list((crash_out / ".done").iterdir())) == 3
+
+
+class TestPreset:
+    """--preset must actually change the solve (it was a dead flag in r1)."""
+
+    def _run(self, path, out, preset=None):
+        args = [path, f"-o={out}", "-s=1", "-b=8", "--pairBatch=4"]
+        if preset:
+            args.append(f"--preset={preset}")
+        assert main(args) == 0
+        return {
+            f.name: f.read_bytes() for f in sorted((Path(out) / "v").iterdir())
+        }
+
+    def test_fast_preset_changes_output_but_stays_accurate(self, vid, tmp_path):
+        path, (fx, _) = vid
+        default = self._run(path, tmp_path / "default")
+        fast = self._run(path, tmp_path / "fast", "fast")
+        assert fast.keys() == default.keys()
+        assert fast != default  # fewer warps/iterations -> different bytes
+        img = cv2.imread(
+            str(tmp_path / "fast" / "v" / "flow_x_00004.jpg"), cv2.IMREAD_GRAYSCALE
+        )
+        # still tracks the true (-2, 0) translation
+        assert abs(img[16:-16, 16:-16].mean() - _expected_quant(fx, 8)) < 6
+
+    def test_unknown_preset_rejected(self, vid, tmp_path, capsys):
+        path, _ = vid
+        rc = main([path, f"-o={tmp_path}", "-s=1", "--preset=warpspeed"])
+        assert rc == 1
+        assert "unknown preset" in capsys.readouterr().out
+
+    def test_preset_resolves_params(self):
+        from denseflow_tpu.algorithms import solver_params
+
+        assert solver_params("tvl1", None).iterations == 300
+        assert solver_params("tvl1", "fast").iterations < 300
+        assert solver_params("farn", "fast").num_iters < 10
+        assert solver_params("brox", "fast").outer_iterations < 77
 
 
 class TestFrameFolderInput:
