@@ -149,8 +149,10 @@ def run(cfg: FlowConfig) -> int:
             coordinator_address=cfg.coordinator or None
         )
     jobs, is_record = expand_jobs(cfg)
-    if not jobs:
+    if not jobs and not cfg.distributed:
         return 0
+    # distributed: a host with an empty shard must still run to the final
+    # counter all-reduce — every host participates in the collective
     cfg.validate_paths([j.video_path for j in jobs], [j.output_dir for j in jobs])
 
     if cfg.profile_dir:
@@ -180,7 +182,9 @@ def run(cfg: FlowConfig) -> int:
         from denseflow_tpu.parallel.distributed import allreduce_counters
 
         n_videos, n_frames, n_flows = allreduce_counters(counters)
-        print_it = cfg.host_id == 0  # pod-global summary once, from host 0
+        # pod-global summary once, from host 0 — and like the reference,
+        # nothing prints when nothing ran anywhere (all videos .done)
+        print_it = cfg.host_id == 0 and (n_videos > 0 or not is_record)
     if print_it:
         print(
             format_summary(
