@@ -69,6 +69,8 @@ TPU extensions:
     --devices (value:0)        local chips to shard pair batches over
                                (0 = all local devices)
     --profile=DIR              capture a jax.profiler trace into DIR
+    --wirePack (value:1)       lossless 4-bit delta packing of quantized
+                               payloads over the device link (0 disables)
 """
 
 # short/long aliases -> (config field, type); bool fields are presence flags
@@ -107,6 +109,7 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "profile": ("profile_dir", str),
     "distributed": ("distributed", bool),
     "coordinator": ("coordinator", str),
+    "wirePack": ("wire_pack", bool),
 }
 
 _TRUE = ("", "true", "1", "yes")

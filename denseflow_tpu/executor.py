@@ -5,12 +5,17 @@ This is the TPU-side replacement for the reference's compute thread
 
 * one jit-compiled **fused step** per (geometry, save_type): slice a batch
   of B frame pairs out of the resident chunk (`lax.dynamic_slice` — a single
-  compile covers every batch offset), solve, and quantize on device —
-  only uint8 (jpg/png) or float32 (h5) results cross back to the host;
+  compile covers every batch offset), solve, quantize on device, and pack
+  the quantized payload for the wire (wire.py) — only packed/quantized
+  uint8 (jpg/png) or float32 (h5) results cross back to the host;
 * the chunk's frames are uploaded to HBM **once** and all pair batches
   slice from them (the reference uploads each frame pair separately,
-  src/denseflow_gpu.cpp:317-318);
-* chunk lengths are bucketed to a few static sizes so XLA compiles a
+  src/denseflow_gpu.cpp:317-318); the final sub-batch of a chunk is
+  **clamp-aligned** (its start shifts back so it stays in range) instead of
+  padding the chunk past its real length, so no wasted frames cross the
+  host->device link — per-pair solver independence makes the overlapping
+  recomputed pairs byte-identical;
+* chunk PAIR counts are bucketed to a few static sizes so XLA compiles a
   handful of programs per video geometry instead of one per chunk;
 * with more than one local device, the pair batch is **data-parallel over a
   1-D `pairs` mesh** via `shard_map`: the chunk is replicated to every chip
@@ -28,7 +33,7 @@ a = step>0 ? i : i-step, b = step>0 ? i+step : i, flow computed a -> b.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from denseflow_tpu.algorithms import make_solver
 from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
+from denseflow_tpu.wire import pack_rows, unpack_rows
 
 _BUCKETS = (32, 64, 128, 256, 512)
 
@@ -63,12 +69,16 @@ class DeviceExecutor:
         chunk_capacity: int,
         preset: "str | None" = None,
         n_devices: int = 0,
+        wire_pack: bool = True,
     ) -> None:
         self.height = height
         self.width = width
         self.step = step
         self.bound = float(bound)
         self.save_type = save_type
+        # the wire codec only applies to uint8 payloads (jpg/png); h5 is
+        # raw float32 by contract (reference src/common.cpp:120-150)
+        self.wire_pack = bool(wire_pack) and save_type in ("jpg", "png")
         devs = jax.local_devices()
         if n_devices > 0:
             devs = devs[:n_devices]
@@ -76,12 +86,14 @@ class DeviceExecutor:
         # global pair batch: a multiple of the mesh size so every chip gets
         # an equal sub-batch
         self.B = -(-pair_batch // self.n_dev) * self.n_dev
-        self.chunk_capacity = chunk_capacity + abs(step)
+        self.astep = abs(step)
+        # pair-count bucket cap (chunk_capacity is the max pairs per chunk)
+        self.max_pairs = max(chunk_capacity, self.B)
         solver = make_solver(algorithm, height, width, preset)
-        astep = abs(step)
-        off_a = 0 if step > 0 else astep
+        off_a = 0 if step > 0 else self.astep
         off_b = step if step > 0 else 0
         bound_f = self.bound
+        do_pack = self.wire_pack
 
         def solve_slice(frames: jnp.ndarray, s, n_pairs: int):
             """Solve pairs [s, s+n_pairs) of the resident (N, H, W) chunk."""
@@ -92,11 +104,17 @@ class DeviceExecutor:
                 frames, (s + off_b, 0, 0), (n_pairs, height, width)
             )
             flow = solver(I0, I1)
+            if save_type == "h5":
+                return flow  # raw float32
             if save_type == "jpg":
-                return quantize_flow_pair(flow, bound_f)
-            if save_type == "png":
-                return quantize_flow_png(flow)
-            return flow  # h5: raw float32
+                qx, qy = quantize_flow_pair(flow, bound_f)
+                q = jnp.stack([qx, qy], axis=1)  # (B, 2, H, W)
+            else:  # png
+                q = jnp.moveaxis(quantize_flow_png(flow), -1, 1)  # (B, 3, H, W)
+            if not do_pack:
+                return q
+            ok, raw0, packed, exc_idx, exc_val = pack_rows(q)
+            return ok, raw0, packed, exc_idx, exc_val, q
 
         if self.n_dev == 1:
             self._sharding = None
@@ -116,9 +134,10 @@ class DeviceExecutor:
                 r = jax.lax.axis_index("pairs")
                 return solve_slice(frames, s + r * B_local, B_local)
 
-            out_spec = (
-                (P("pairs"), P("pairs")) if save_type == "jpg" else P("pairs")
-            )
+            if save_type == "h5" or not do_pack:
+                out_spec = P("pairs")
+            else:
+                out_spec = (P("pairs"),) * 6
             # check_vma off: the carry mixes replicated inputs with values
             # made device-varying by axis_index, which the static
             # varying-axis checker can't type through lax.while_loop
@@ -132,6 +151,12 @@ class DeviceExecutor:
                 )
             )
 
+    def _padded_len(self, n: int) -> int:
+        """Frames to upload for a chunk of n real frames: pair count
+        bucketed to a few static sizes (bounds XLA recompiles), plus halo."""
+        m = max(n - self.astep, 0)
+        return _bucket(max(m, self.B), self.max_pairs) + self.astep
+
     def upload_chunk(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
         """Pad/bucket host-side and start the async H2D upload.
 
@@ -140,19 +165,36 @@ class DeviceExecutor:
         with compute but uploads synchronously per pair,
         src/denseflow_gpu.cpp:317-318)."""
         n = frames.shape[0]
-        m = n - abs(self.step)
-        if m <= 0:
+        if n - self.astep <= 0:
             return frames
-        # pad so every dynamic_slice start in [0, m) is in range, and bucket
-        # the chunk length to bound recompiles
-        need = m - 1 + self.B + abs(self.step)
-        n_pad = _bucket(max(need, n), max(self.chunk_capacity, need))
+        n_pad = self._padded_len(n)
         if n_pad > n:
             pad = np.repeat(frames[-1:], n_pad - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
         if self._sharding is not None:
             return jax.device_put(frames, self._sharding)
         return jax.device_put(frames)
+
+    def _collect(self, out) -> "np.ndarray | Tuple[np.ndarray, np.ndarray]":
+        """Materialize one sub-batch on the host in its consumer layout."""
+        if self.save_type == "h5":
+            return np.asarray(out)
+        if self.wire_pack:
+            ok, raw0, packed, exc_idx, exc_val, q_dev = out
+            if np.asarray(ok).all():
+                q = unpack_rows(
+                    np.asarray(raw0), np.asarray(packed), self.width,
+                    np.asarray(exc_idx), np.asarray(exc_val),
+                )
+            else:
+                # a pair's deltas overflowed 4 bits: fall back to the raw
+                # payload for this sub-batch (still exact, just unpacked)
+                q = np.asarray(q_dev)
+        else:
+            q = np.asarray(out)
+        if self.save_type == "jpg":
+            return q[:, 0], q[:, 1]
+        return np.moveaxis(q, 1, -1)  # png: back to (B, H, W, 3)
 
     def iter_chunk(self, frames, n_frames: int):
         """Yield (payload, pair_offset, n_pairs) per device sub-batch.
@@ -164,8 +206,11 @@ class DeviceExecutor:
         dispatched asynchronously up front (device compute of batch i+1
         overlaps the wire transfer of batch i), then results are yielded
         in order as their D2H copies land — so the encode stage starts on
-        the first sub-batch while the rest still compute."""
-        m = n_frames - abs(self.step)
+        the first sub-batch while the rest still compute. The last
+        sub-batch clamps its start back into range instead of relying on
+        padded frames (pairs recomputed in the overlap are byte-identical
+        by per-pair independence)."""
+        m = n_frames - self.astep
         if m <= 0:
             return
         if isinstance(frames, np.ndarray):
@@ -173,16 +218,25 @@ class DeviceExecutor:
 
         outs = []
         for s in range(0, m, self.B):
-            out = self._step(frames, s)
-            for leaf in jax.tree.leaves(out):
-                leaf.copy_to_host_async()
-            outs.append((out, s))
-        for out, s in outs:
-            n = min(self.B, m - s)
-            if isinstance(out, tuple):
-                yield (np.asarray(out[0])[:n], np.asarray(out[1])[:n]), s, n
+            s_eff = min(s, max(m - self.B, 0))
+            out = self._step(frames, s_eff)
+            if self.wire_pack and self.save_type != "h5":
+                # optimistic: transfer flag + packed form + exceptions; the
+                # raw payload stays on device unless a flag comes back False
+                for leaf in out[:5]:
+                    leaf.copy_to_host_async()
             else:
-                yield np.asarray(out)[:n], s, n
+                for leaf in jax.tree.leaves(out):
+                    leaf.copy_to_host_async()
+            outs.append((out, s, s_eff))
+        for out, s, s_eff in outs:
+            n = min(self.B, m - s)
+            off = s - s_eff
+            payload = self._collect(out)
+            if isinstance(payload, tuple):
+                yield (payload[0][off : off + n], payload[1][off : off + n]), s, n
+            else:
+                yield payload[off : off + n], s, n
 
     def run_chunk(
         self, frames, n_frames: int
@@ -217,8 +271,9 @@ def get_executor(
     chunk_capacity: int,
     preset: "str | None" = None,
     n_devices: int = 0,
+    wire_pack: bool = True,
 ) -> DeviceExecutor:
     return DeviceExecutor(
         algorithm, height, width, step, bound, save_type, pair_batch,
-        chunk_capacity, preset, n_devices,
+        chunk_capacity, preset, n_devices, wire_pack,
     )

@@ -126,7 +126,7 @@ class Pipeline:
                             ex = get_executor(
                                 cfg.algorithm, h, w, cfg.step, cfg.bound,
                                 cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
-                                cfg.preset, cfg.devices,
+                                cfg.preset, cfg.devices, cfg.wire_pack,
                             )
                             frames = ex.upload_chunk(frames)
                         except Exception as e:
@@ -181,6 +181,7 @@ class Pipeline:
                         cfg.chunk_frames,
                         cfg.preset,
                         cfg.devices,
+                        cfg.wire_pack,
                     )
                     # stream sub-batches to the encode stage as each lands
                     # so encoding overlaps the rest of the chunk's solve
