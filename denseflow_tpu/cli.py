@@ -145,6 +145,9 @@ def parse_args(argv: List[str]) -> Optional[FlowConfig]:
 
 def run(cfg: FlowConfig) -> int:
     cfg.validate()
+    from denseflow_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if cfg.distributed:
         from denseflow_tpu.parallel.distributed import init_distributed
 

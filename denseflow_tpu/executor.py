@@ -196,23 +196,23 @@ class DeviceExecutor:
             return q[:, 0], q[:, 1]
         return np.moveaxis(q, 1, -1)  # png: back to (B, H, W, 3)
 
-    def iter_chunk(self, frames, n_frames: int):
-        """Yield (payload, pair_offset, n_pairs) per device sub-batch.
+    def dispatch_chunk(self, frames, n_frames: int) -> list:
+        """Dispatch every sub-batch of a chunk asynchronously and start the
+        D2H copies of the wire-format leaves. Returns an opaque list for
+        `collect_chunk`. Dispatching chunk i+1 before collecting chunk i
+        keeps the chip busy through chunk i's D2H drain (the pipeline's
+        compute stage holds a small in-flight window of chunks).
 
         frames: (N', H, W) uint8, already padded/uploaded by
         `upload_chunk` (a raw np array is accepted and uploaded here as a
         fallback). n_frames: the chunk's REAL frame count incl. halo. The
-        chunk has M = n_frames - |step| pairs; every sub-batch is
-        dispatched asynchronously up front (device compute of batch i+1
-        overlaps the wire transfer of batch i), then results are yielded
-        in order as their D2H copies land — so the encode stage starts on
-        the first sub-batch while the rest still compute. The last
-        sub-batch clamps its start back into range instead of relying on
-        padded frames (pairs recomputed in the overlap are byte-identical
-        by per-pair independence)."""
+        chunk has M = n_frames - |step| pairs. The last sub-batch clamps
+        its start back into range instead of relying on padded frames
+        (pairs recomputed in the overlap are byte-identical by per-pair
+        independence)."""
         m = n_frames - self.astep
         if m <= 0:
-            return
+            return []
         if isinstance(frames, np.ndarray):
             frames = self.upload_chunk(frames)
 
@@ -228,8 +228,13 @@ class DeviceExecutor:
             else:
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()
-            outs.append((out, s, s_eff))
-        for out, s, s_eff in outs:
+            outs.append((out, s, s_eff, m))
+        return outs
+
+    def collect_chunk(self, outs: list):
+        """Yield (payload, pair_offset, n_pairs) for a dispatched chunk, in
+        order, as each sub-batch's D2H lands."""
+        for out, s, s_eff, m in outs:
             n = min(self.B, m - s)
             off = s - s_eff
             payload = self._collect(out)
@@ -237,6 +242,10 @@ class DeviceExecutor:
                 yield (payload[0][off : off + n], payload[1][off : off + n]), s, n
             else:
                 yield payload[off : off + n], s, n
+
+    def iter_chunk(self, frames, n_frames: int):
+        """dispatch_chunk + collect_chunk in one call (single-chunk use)."""
+        yield from self.collect_chunk(self.dispatch_chunk(frames, n_frames))
 
     def run_chunk(
         self, frames, n_frames: int

@@ -162,8 +162,52 @@ class Pipeline:
             self.log("load frames exit.")
 
     # ---------------- stage 2: device compute ----------------
+    # Chunks dispatched to the device but not yet collected. 2 keeps the
+    # chip computing chunk i+1 while chunk i's results drain over the
+    # device link (the link, not the solver, binds remote-chip setups —
+    # see wire.py); more would only add latency and HBM residency.
+    INFLIGHT_CHUNKS = 2
+
+    def _collect_chunk(self, entry) -> None:
+        """Drain one dispatched chunk into the flows queue (in order)."""
+        cfg = self.cfg
+        item, ex, outs = entry
+        m_total = item.n_frames - abs(cfg.step)
+        try:
+            pushed = 0
+            with self.timers.track("compute"):
+                for payload, off, n in ex.collect_chunk(outs):
+                    self.counters.add_flows(n)
+                    pushed += n
+                    self._flows_q.put(
+                        _FlowItem(
+                            payload,
+                            item.output_dir,
+                            item.base_start + off,
+                            item.last_buffer and pushed >= m_total,
+                        )
+                    )
+                    self.log(f"flows queue push a item ({n} flows)")
+            if item.last_buffer and m_total <= 0:
+                # degenerate final chunk (fewer frames than |step|):
+                # still forward a marker so .done logic runs
+                self._flows_q.put(
+                    _FlowItem(None, item.output_dir, item.base_start, True)
+                )
+        except Exception:
+            self.errors.append(
+                _VideoError(item.output_dir, traceback.format_exc())
+            )
+            if cfg.strict:
+                self._abort.set()
+            if item.last_buffer:
+                self._flows_q.put(
+                    _FlowItem(None, item.output_dir, item.base_start, True)
+                )
+
     def _calc_flows(self) -> None:
         cfg = self.cfg
+        pending: List = []  # dispatched, uncollected chunks (FIFO)
         try:
             while True:
                 item: Optional[_ChunkItem] = self._frames_q.get()
@@ -183,43 +227,29 @@ class Pipeline:
                         cfg.devices,
                         cfg.wire_pack,
                     )
-                    # stream sub-batches to the encode stage as each lands
-                    # so encoding overlaps the rest of the chunk's solve
-                    m_total = item.n_frames - abs(cfg.step)
-                    pushed = 0
                     with self.timers.track("compute"):
-                        for payload, off, n in ex.iter_chunk(
-                            item.frames, item.n_frames
-                        ):
-                            self.counters.add_flows(n)
-                            pushed += n
-                            self._flows_q.put(
-                                _FlowItem(
-                                    payload,
-                                    item.output_dir,
-                                    item.base_start + off,
-                                    item.last_buffer and pushed >= m_total,
-                                )
-                            )
-                            self.log(f"flows queue push a item ({n} flows)")
-                    if item.last_buffer and m_total <= 0:
-                        # degenerate final chunk (fewer frames than |step|):
-                        # still forward a marker so .done logic runs
-                        self._flows_q.put(
-                            _FlowItem(None, item.output_dir, item.base_start, True)
-                        )
+                        outs = ex.dispatch_chunk(item.frames, item.n_frames)
+                    pending.append((item, ex, outs))
                 except Exception:
+                    # flush already-dispatched work first so this video's
+                    # .done marker cannot overtake earlier chunks' writes
+                    while pending:
+                        self._collect_chunk(pending.pop(0))
                     self.errors.append(
                         _VideoError(item.output_dir, traceback.format_exc())
                     )
                     if cfg.strict:
                         self._abort.set()
-                    # still forward an empty item so .done logic can run
                     if item.last_buffer:
                         self._flows_q.put(
                             _FlowItem(None, item.output_dir, item.base_start, True)
                         )
+                    continue
+                while len(pending) >= self.INFLIGHT_CHUNKS:
+                    self._collect_chunk(pending.pop(0))
         finally:
+            while pending:
+                self._collect_chunk(pending.pop(0))
             self._flows_q.put(None)
             self.log("calc optflows exit.")
 
