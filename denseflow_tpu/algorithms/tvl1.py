@@ -72,8 +72,9 @@ class TVL1Params:
     #               (kernels/tvl1_pallas.py); warp stays in XLA.
     #   "on"      — alias for "iterate" (back-compat).
     #   "off"     — pure XLA (lax.while_loop); the CPU / oracle path.
-    #   "auto"    — "fused" on TPU when one pair's working set fits VMEM
-    #               (kernels/tvl1_fused.fits_vmem), else "off".
+    #   "auto"    — "fused" on TPU at every geometry (working sets beyond
+    #               VMEM are spatially tiled — tvl1_fused.plan_tiles), "off"
+    #               on CPU.
     use_pallas: str = "auto"
 
 
@@ -81,11 +82,7 @@ def _pallas_mode(p: "TVL1Params", h: int, w: int) -> str:
     if p.use_pallas == "auto":
         import jax as _jax
 
-        if _jax.default_backend() == "cpu":
-            return "off"
-        from denseflow_tpu.kernels.tvl1_fused import fits_vmem
-
-        return "fused" if fits_vmem(h, w) else "off"
+        return "off" if _jax.default_backend() == "cpu" else "fused"
     if p.use_pallas == "on":
         return "iterate"
     return p.use_pallas
@@ -110,7 +107,7 @@ def _solve_one_scale(
 
     mode = "fused" if interpret else _pallas_mode(p, I0.shape[-2], I0.shape[-1])
     if mode == "fused":
-        from denseflow_tpu.kernels.tvl1_fused import tvl1_scale_fused
+        from denseflow_tpu.kernels.tvl1_fused import tvl1_scale_fused_tiled as tvl1_scale_fused
 
         return tvl1_scale_fused(
             I0, I1, I1x, I1y, u1, u2,

@@ -18,9 +18,17 @@ HBM traffic per scale drops to one load of (I0, I1, I1x, I1y, u1, u2) and
 one store of (u1, u2) — about 24 plane-passes less than the XLA path pays
 PER ITERATION. The kernel is VPU-bound.
 
-VMEM budget: ~20 live f32 planes; at the 256x341 bench geometry (padded to
-256x384) that is ~7.7 MB of the ~16 MB/core — `fits_vmem()` gates the
-fused path and larger geometries fall back to the XLA solver.
+VMEM budget: ~19 live f32 planes; at the 256x341 bench geometry (padded to
+256x384) that is ~7.5 MB of the ~16 MB/core. Geometries whose working set
+exceeds VMEM do NOT fall back to XLA: `tvl1_scale_fused_tiled` splits the
+plane into overlapping spatial tiles (halo `TILE_HALO` px, discarded at
+interior seams), folds the tiles into the batch grid, and stitches the
+retained cores — so 360p/480p/1080p keep the VMEM-resident path at the cost
+of redundant compute in the halo bands (measured ~1.2-1.6x pixels at
+360-480p). Seam fidelity: a core pixel sits >= TILE_HALO px from its tile
+edge; its warp taps and ~40 primal-dual influence radius stay inside the
+tile unless the local flow exceeds TILE_HALO-2 px, so seams are exact for
+typical motion and degrade only under extreme displacement at a seam.
 """
 
 from __future__ import annotations
@@ -48,11 +56,68 @@ def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
 
 
-def fits_vmem(h: int, w: int, budget_bytes: int = 14 * 1024 * 1024) -> bool:
+_PLANES = 20  # live f32 planes in the kernel (conservative estimate)
+_VMEM_BUDGET = 14 * 1024 * 1024
+TILE_HALO = 40  # px discarded at interior tile seams (see module doc)
+
+
+def fits_vmem(h: int, w: int, budget_bytes: int = _VMEM_BUDGET) -> bool:
     """Can the fused kernel hold one pair's working set in VMEM?"""
     w_pad = ((w + 127) // 128) * 128
     h_pad = ((h + 7) // 8) * 8
-    return 22 * h_pad * w_pad * 4 <= budget_bytes
+    return _PLANES * h_pad * w_pad * 4 <= budget_bytes
+
+
+def _axis_starts(n: int, tile: int, halo: int) -> list:
+    """Start offsets of overlapping `tile`-sized windows covering [0, n).
+
+    Consecutive windows overlap by >= 2*halo so every retained core pixel
+    is >= halo px from its window's interior edges."""
+    if tile >= n:
+        return [0]
+    step = tile - 2 * halo
+    starts = list(range(0, n - tile, step))
+    starts.append(n - tile)
+    return starts
+
+
+def plan_tiles(h: int, w: int, halo: int = TILE_HALO,
+               budget_bytes: int = _VMEM_BUDGET):
+    """Choose a spatial tiling whose per-tile working set fits VMEM.
+
+    Returns None when (h, w) fits untiled, else
+    (h_starts, w_starts, th, tw, h_bounds, w_bounds): tile start offsets,
+    tile dims (real pixels; split dims are 8/128-aligned so the kernel pads
+    nothing), and the core boundaries used for stitching. Prefers splitting
+    H only (cheap sublane alignment, no extra lane padding); minimizes total
+    tile area (redundant halo compute)."""
+    if fits_vmem(h, w, budget_bytes):
+        return None
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    best = None
+    tw = wp
+    while tw >= 256:
+        th_max = budget_bytes // (_PLANES * 4 * tw) // 8 * 8
+        th = min(hp, th_max)
+        ok_h = th >= hp or th > 2 * halo + 8
+        ok_w = tw >= wp or tw > 2 * halo + 8
+        if th >= 8 and ok_h and ok_w:
+            th_r = h if th >= hp else th
+            tw_r = w if tw >= wp else tw
+            hs = _axis_starts(h, th_r, halo)
+            ws = _axis_starts(w, tw_r, halo)
+            area = len(hs) * len(ws) * th * tw
+            if best is None or area < best[0]:
+                hb = [0] + [s + halo for s in hs[1:]] + [h]
+                wb = [0] + [s + halo for s in ws[1:]] + [w]
+                best = (area, (hs, ws, th_r, tw_r, hb, wb))
+        tw -= 128
+    if best is None:
+        raise ValueError(
+            f"no VMEM tiling for {h}x{w} (halo={halo}); raise the budget"
+        )
+    return best[1]
 
 
 def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
@@ -137,16 +202,23 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
         gy_ok = row_i() < h - 1
 
         def one_iter(state, with_err: bool, consts):
-            I1wx, I1wy, rho_c, grad, fi, d_body, grad_ok = consts
+            # only 4 planes carried across the iteration loop; fi / the
+            # residual reciprocal / the gradient guard are recomputed
+            # inline (a mul, a reciprocal, a compare per pixel) to keep
+            # the VMEM working set small enough for large tiles
+            I1wx, I1wy, rho_c, grad = consts
             u1, u2, p11, p12, p21, p22, _ = state
             rho = rho_c + I1wx * u1 + I1wy * u2
+            fi = l_t * grad
+            g = jnp.maximum(grad, _GRAD_EPS)
+            rg = (1.0 / g) if interpret else pl.reciprocal(g)
             mul = jnp.where(
                 rho < -fi,
                 l_t,
                 jnp.where(
                     rho > fi,
                     -l_t,
-                    jnp.where(grad_ok, rho * d_body, 0.0),
+                    jnp.where(grad > _GRAD_EPS, -rho * rg, 0.0),
                 ),
             )
             v1 = u1 + mul * I1wx
@@ -181,10 +253,7 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
             I1w, I1wx, I1wy = resample3(t1, t1x, t1y, u1, 1)
             grad = I1wx * I1wx + I1wy * I1wy
             rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
-            fi = l_t * grad
-            d_body = -1.0 / jnp.maximum(grad, _GRAD_EPS)
-            grad_ok = grad > _GRAD_EPS
-            consts = (I1wx, I1wy, rho_c, grad, fi, d_body, grad_ok)
+            consts = (I1wx, I1wy, rho_c, grad)
 
             def cond(state):
                 n = state[0]
@@ -310,3 +379,53 @@ def tvl1_scale_fused(
         ),
     )(I0, I1, I1x, I1y, u1, u2)
     return u1o[:, :h, :w], u2o[:, :h, :w]
+
+
+def tvl1_scale_fused_tiled(
+    I0: jnp.ndarray,
+    I1: jnp.ndarray,
+    I1x: jnp.ndarray,
+    I1y: jnp.ndarray,
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    tile_budget: int = _VMEM_BUDGET,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`tvl1_scale_fused` for ANY geometry: planes whose working set exceeds
+    VMEM are split into overlapping spatial tiles (plan_tiles), the tiles are
+    folded into the batch grid (one pallas_call, one compile), and the
+    retained cores are stitched back. Each tile is solved as its own
+    subproblem — border conventions apply at tile edges, which is wrong at
+    interior seams but confined to the discarded halo band; the per-tile
+    epsilon stop uses the tile area. Shapes static, so the tiling resolves
+    entirely at trace time."""
+    b, h, w = u1.shape
+    plan = plan_tiles(h, w, budget_bytes=tile_budget)
+    if plan is None:
+        return tvl1_scale_fused(I0, I1, I1x, I1y, u1, u2, **kw)
+    hs, ws, th, tw, hb, wb = plan
+    arrs = (I0, I1, I1x, I1y, u1, u2)
+    stacked = [
+        jnp.concatenate(
+            [a[:, ys:ys + th, xs:xs + tw] for ys in hs for xs in ws], axis=0
+        )
+        for a in arrs
+    ]
+    u1o, u2o = tvl1_scale_fused(*stacked, **kw)
+    nw = len(ws)
+
+    def stitch(t):
+        rows = []
+        for iy, ys in enumerate(hs):
+            y0, y1 = hb[iy], hb[iy + 1]
+            cols = []
+            for ix, xs in enumerate(ws):
+                k = iy * nw + ix
+                x0, x1 = wb[ix], wb[ix + 1]
+                cols.append(
+                    t[k * b:(k + 1) * b, y0 - ys:y1 - ys, x0 - xs:x1 - xs]
+                )
+            rows.append(jnp.concatenate(cols, axis=2))
+        return jnp.concatenate(rows, axis=1)
+
+    return stitch(u1o), stitch(u2o)
