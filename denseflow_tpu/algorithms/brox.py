@@ -110,12 +110,18 @@ def _solve_level(I0, I1, u, v, p: BroxParams, max_disp: int):
 
         def inner_body(_, duv):
             du, dv = duv
-            # lagged diffusivities at current increment
+            # lagged diffusivity at the current increment. ONE robust
+            # penalty over intensity + gradient constancy combined —
+            # Brox et al. 2004 eq. (4): Ψ(|I_z|² + γ|∇I_z|²) — which is
+            # what OpenCV's CUDA Brox (NCV) implements. Separate Ψ per
+            # term (the Bruhn-variant) destabilizes at γ=50 on
+            # [0,1]-scaled intensities (round-2 divergence).
             r_data = Iz + Ix * du + Iy * dv
             r_gx = Ixz + Ixx * du + Ixy * dv
             r_gy = Iyz + Ixy * du + Iyy * dv
-            psi_d = _psi_deriv(r_data * r_data)
-            psi_g = _psi_deriv(r_gx * r_gx + r_gy * r_gy)
+            psi_d = _psi_deriv(
+                r_data * r_data + gamma * (r_gx * r_gx + r_gy * r_gy)
+            )
 
             U = u + du
             V = v + dv
@@ -131,11 +137,11 @@ def _solve_level(I0, I1, u, v, p: BroxParams, max_disp: int):
             wsum = wE + wW + wS + wN
 
             # constant (per fixed-point step) data-term pieces
-            a11 = psi_d * Ix * Ix + gamma * psi_g * (Ixx * Ixx + Ixy * Ixy)
-            a12 = psi_d * Ix * Iy + gamma * psi_g * (Ixx * Ixy + Ixy * Iyy)
-            a22 = psi_d * Iy * Iy + gamma * psi_g * (Ixy * Ixy + Iyy * Iyy)
-            b1 = -(psi_d * Iz * Ix + gamma * psi_g * (Ixz * Ixx + Iyz * Ixy))
-            b2 = -(psi_d * Iz * Iy + gamma * psi_g * (Ixz * Ixy + Iyz * Iyy))
+            a11 = psi_d * (Ix * Ix + gamma * (Ixx * Ixx + Ixy * Ixy))
+            a12 = psi_d * (Ix * Iy + gamma * (Ixx * Ixy + Ixy * Iyy))
+            a22 = psi_d * (Iy * Iy + gamma * (Ixy * Ixy + Iyy * Iyy))
+            b1 = -psi_d * (Iz * Ix + gamma * (Ixz * Ixx + Iyz * Ixy))
+            b2 = -psi_d * (Iz * Iy + gamma * (Ixz * Ixy + Iyz * Iyy))
 
             def jacobi_body(_, duv2):
                 du, dv = duv2
