@@ -1,30 +1,37 @@
 """Device executor: turns decoded frame chunks into quantized flow payloads.
 
 This is the TPU-side replacement for the reference's compute thread
-(reference src/denseflow_gpu.cpp:282-394), re-designed for XLA:
+(reference src/denseflow_gpu.cpp:282-394), re-designed for XLA and for a
+slow host<->device link:
 
-* one jit-compiled **fused step** per (geometry, save_type): slice a batch
-  of B frame pairs out of the resident chunk (`lax.dynamic_slice` — a single
-  compile covers every batch offset), solve, quantize on device, and pack
-  the quantized payload for the wire (wire.py) — only packed/quantized
-  uint8 (jpg/png) or float32 (h5) results cross back to the host;
-* the chunk's frames are uploaded to HBM **once** and all pair batches
-  slice from them (the reference uploads each frame pair separately,
-  src/denseflow_gpu.cpp:317-318); the final sub-batch of a chunk is
-  **clamp-aligned** (its start shifts back so it stays in range) instead of
-  padding the chunk past its real length, so no wasted frames cross the
-  host->device link — per-pair solver independence makes the overlapping
-  recomputed pairs byte-identical;
-* chunk PAIR counts are bucketed to a few static sizes so XLA compiles a
-  handful of programs per video geometry instead of one per chunk;
-* with more than one local device, the pair batch is **data-parallel over a
-  1-D `pairs` mesh** via `shard_map`: the chunk is replicated to every chip
-  (cheap — uint8 frames), each chip slices and solves its own B/N sub-batch
-  (no collectives — pairs share nothing, reference src/denseflow_gpu.cpp:313-341),
-  and results gather on the host D2H. Replaces the reference's
-  hardcoded single device (setDevice(0), src/denseflow_gpu.cpp:482).
-  Per-pair convergence freezing makes results byte-identical to the
-  single-device path (see algorithms/tvl1.py).
+* one jit-compiled **fused chunk step** per (geometry, save_type, pair
+  bucket): solve every frame pair of a resident chunk (`lax.map` over
+  pair-batch slabs bounds the solver workspace), quantize on device, and
+  entropy-pack the whole chunk's payload into ONE 1-D uint8 wire buffer
+  (wire.py) — so a chunk costs a single device->host transfer. Measured on
+  the remote-chip tunnel each transfer call costs ~27 ms flat + bytes at
+  ~35-40 MB/s; per-sub-batch multi-leaf transfers were the round-2
+  throughput ceiling;
+* the chunk's frames are uploaded to HBM **once**, raw — the transport
+  compresses host->device traffic, so packing frames would be wasted work
+  (the reference uploads each frame pair separately,
+  src/denseflow_gpu.cpp:317-318);
+* chunk PAIR counts are bucketed to pair_batch * 2^k so XLA compiles a
+  handful of programs per video geometry instead of one per chunk; padded
+  pairs repeat the last frame (zero flow, compresses to nothing) and are
+  sliced off on the host;
+* the raw quantized payload stays resident on device alongside the wire
+  buffer; it is only fetched when a pair overflows the codec's exception
+  channel (flag False) — the exact-losslessness escape hatch;
+* with more than one local device, pairs are **data-parallel over a 1-D
+  `pairs` mesh** via `shard_map`: the chunk is replicated to every chip
+  (cheap — uint8 frames), each chip solves and packs its own contiguous
+  mb/N sub-range (no collectives — pairs share nothing, reference
+  src/denseflow_gpu.cpp:313-341), and the per-shard wire buffers
+  concatenate along the transfer axis. Replaces the reference's hardcoded
+  single device (setDevice(0), src/denseflow_gpu.cpp:482). Per-pair
+  convergence freezing makes results byte-identical to the single-device
+  path (see algorithms/tvl1.py).
 
 Pair indexing matches the reference (src/denseflow_gpu.cpp:315-316):
 a = step>0 ? i : i-step, b = step>0 ? i+step : i, flow computed a -> b.
@@ -42,16 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from denseflow_tpu.algorithms import make_solver
 from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
-from denseflow_tpu.wire import pack_rows, unpack_rows
-
-_BUCKETS = (32, 64, 128, 256, 512)
-
-
-def _bucket(n: int, cap: int) -> int:
-    for b in _BUCKETS:
-        if n <= b:
-            return min(b, cap)
-    return cap
+from denseflow_tpu.wire import EXC_CAP, pack_chunk, unpack_chunk_fast
 
 
 class DeviceExecutor:
@@ -76,6 +74,8 @@ class DeviceExecutor:
         self.step = step
         self.bound = float(bound)
         self.save_type = save_type
+        # channels of the quantized payload crossing the wire
+        self.n_chan = {"jpg": 2, "png": 3}.get(save_type, 0)
         # the wire codec only applies to uint8 payloads (jpg/png); h5 is
         # raw float32 by contract (reference src/common.cpp:120-150)
         self.wire_pack = bool(wire_pack) and save_type in ("jpg", "png")
@@ -83,80 +83,144 @@ class DeviceExecutor:
         if n_devices > 0:
             devs = devs[:n_devices]
         self.n_dev = len(devs)
-        # global pair batch: a multiple of the mesh size so every chip gets
-        # an equal sub-batch
+        self._devs = devs
+        # pair-batch slab: a multiple of the mesh size so every chip gets
+        # an equal share of every slab
         self.B = -(-pair_batch // self.n_dev) * self.n_dev
         self.astep = abs(step)
-        # pair-count bucket cap (chunk_capacity is the max pairs per chunk)
-        self.max_pairs = max(chunk_capacity, self.B)
-        solver = make_solver(algorithm, height, width, preset)
-        off_a = 0 if step > 0 else self.astep
-        off_b = step if step > 0 else 0
-        bound_f = self.bound
-        do_pack = self.wire_pack
-
-        def solve_slice(frames: jnp.ndarray, s, n_pairs: int):
-            """Solve pairs [s, s+n_pairs) of the resident (N, H, W) chunk."""
-            I0 = jax.lax.dynamic_slice(
-                frames, (s + off_a, 0, 0), (n_pairs, height, width)
-            )
-            I1 = jax.lax.dynamic_slice(
-                frames, (s + off_b, 0, 0), (n_pairs, height, width)
-            )
-            flow = solver(I0, I1)
-            if save_type == "h5":
-                return flow  # raw float32
-            if save_type == "jpg":
-                qx, qy = quantize_flow_pair(flow, bound_f)
-                q = jnp.stack([qx, qy], axis=1)  # (B, 2, H, W)
-            else:  # png
-                q = jnp.moveaxis(quantize_flow_png(flow), -1, 1)  # (B, 3, H, W)
-            if not do_pack:
-                return q
-            ok, raw0, packed, exc_idx, exc_val = pack_rows(q)
-            return ok, raw0, packed, exc_idx, exc_val, q
-
+        # largest pair bucket (chunk_capacity is the max pairs per chunk)
+        self.max_pairs = self._bucket(max(chunk_capacity, self.B))
+        self._solver = make_solver(algorithm, height, width, preset)
+        self._off_a = 0 if step > 0 else self.astep
+        self._off_b = step if step > 0 else 0
+        self._packs: dict = {}  # n_slabs -> jitted concat+pack step
         if self.n_dev == 1:
             self._sharding = None
-            self._step = jax.jit(lambda frames, s: solve_slice(frames, s, self.B))
+            self._mesh = None
+            self._slab = jax.jit(
+                lambda frames, s: self._solve_q(frames, s, self.B)
+            )
         else:
-            # Data-parallel over pairs: chunk replicated to every chip, each
-            # chip solves its own contiguous B/N sub-batch (offset by its
-            # mesh coordinate); outputs concatenate along the pair axis.
-            # No collectives — pairs are independent.
+            self._mesh = Mesh(np.asarray(devs), ("pairs",))
+            self._sharding = NamedSharding(self._mesh, P())  # replicated
             from jax import shard_map
 
-            mesh = Mesh(np.asarray(devs), ("pairs",))
-            self._sharding = NamedSharding(mesh, P())  # replicated chunk
-            B_local = self.B // self.n_dev
+            b_loc = self.B // self.n_dev
 
-            def pair_step_local(frames: jnp.ndarray, s):
+            def slab_local(frames, s):
                 r = jax.lax.axis_index("pairs")
-                return solve_slice(frames, s + r * B_local, B_local)
+                return self._solve_q(frames, s + r * b_loc, b_loc)
 
-            if save_type == "h5" or not do_pack:
-                out_spec = P("pairs")
-            else:
-                out_spec = (P("pairs"),) * 6
             # check_vma off: the carry mixes replicated inputs with values
             # made device-varying by axis_index, which the static
             # varying-axis checker can't type through lax.while_loop
-            self._step = jax.jit(
+            self._slab = jax.jit(
                 shard_map(
-                    pair_step_local,
-                    mesh=mesh,
+                    slab_local,
+                    mesh=self._mesh,
                     in_specs=(P(), P()),
-                    out_specs=out_spec,
+                    out_specs=P("pairs"),
                     check_vma=False,
                 )
             )
 
-    def _padded_len(self, n: int) -> int:
-        """Frames to upload for a chunk of n real frames: pair count
-        bucketed to a few static sizes (bounds XLA recompiles), plus halo."""
-        m = max(n - self.astep, 0)
-        return _bucket(max(m, self.B), self.max_pairs) + self.astep
+    # ---------------- shape bucketing ----------------
+    def _bucket(self, n: int) -> int:
+        """Smallest B * 2^k >= n: a handful of compiles per geometry."""
+        mb = self.B
+        while mb < n:
+            mb *= 2
+        return mb
 
+    def _padded_len(self, n: int) -> int:
+        """Frames to upload for a chunk of n real frames."""
+        m = max(n - self.astep, 0)
+        return self._bucket(max(m, 1)) + self.astep
+
+    # ---------------- compiled chunk step ----------------
+    def _solve_q(self, frames: jnp.ndarray, s, n_pairs: int):
+        """Solve pairs [s, s+n_pairs) of the resident (N, H, W) chunk into
+        the save_type's device payload: (n, 2|3, H, W) uint8 or flow f32."""
+        h, w = self.height, self.width
+        I0 = jax.lax.dynamic_slice(
+            frames, (s + self._off_a, 0, 0), (n_pairs, h, w)
+        )
+        I1 = jax.lax.dynamic_slice(
+            frames, (s + self._off_b, 0, 0), (n_pairs, h, w)
+        )
+        flow = self._solver(I0, I1)
+        if self.save_type == "h5":
+            return flow  # raw float32 (n, H, W, 2)
+        if self.save_type == "jpg":
+            qx, qy = quantize_flow_pair(flow, self.bound)
+            return jnp.stack([qx, qy], axis=1)  # (n, 2, H, W)
+        return jnp.moveaxis(quantize_flow_png(flow), -1, 1)  # (n, 3, H, W)
+
+    def _get_pack(self, n_slabs: int):
+        """Jitted chunk assembly for n_slabs solved slabs: concatenate and
+        (jpg/png) entropy-pack into the single wire buffer.
+
+        Kept SEPARATE from the solver on purpose: the solver always runs
+        at slab granularity (one compiled program per frames shape), so
+        its floating-point behavior cannot depend on the chunk's pair
+        bucket — the chunk-grouping and multi-device byte-identity
+        contracts (tests/test_pipeline_e2e.py stress suite,
+        tests/test_sharding.py) rely on that. This assembly step is
+        integer-only (concat + bit packing), which XLA can fuse however it
+        likes without being able to change a byte."""
+        fn = self._packs.get(n_slabs)
+        if fn is not None:
+            return fn
+        do_pack = self.wire_pack
+
+        if self.n_dev == 1:
+
+            def pack_step(slabs):
+                q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
+                if not do_pack:
+                    return q
+                return pack_chunk(q, EXC_CAP), q
+
+            fn = jax.jit(pack_step)
+        else:
+            from jax import shard_map
+
+            def pack_local(slabs):
+                q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
+                if not do_pack:
+                    return q
+                return pack_chunk(q, EXC_CAP), q
+
+            in_spec = tuple(P("pairs") for _ in range(n_slabs))
+            out_spec = P("pairs") if not do_pack else (P("pairs"), P("pairs"))
+            fn = jax.jit(
+                shard_map(
+                    pack_local,
+                    mesh=self._mesh,
+                    in_specs=(in_spec,),
+                    out_specs=out_spec,
+                    check_vma=False,
+                )
+            )
+        self._packs[n_slabs] = fn
+        return fn
+
+    def _deinterleave(self, a: np.ndarray, n_slabs: int) -> np.ndarray:
+        """Undo the multi-device pack's pair ordering.
+
+        With N devices, slab j's pairs are interleaved across chips
+        (chip r holds [j*B + r*B_loc, j*B + (r+1)*B_loc)); the pack step
+        concatenates each chip's local slabs, so the transferred order is
+        chip-major. Global pair order = transpose back to slab-major."""
+        if self.n_dev == 1 or n_slabs == 1:
+            return a
+        b_loc = self.B // self.n_dev
+        a = a.reshape((self.n_dev, n_slabs, b_loc) + a.shape[1:])
+        return np.ascontiguousarray(a.swapaxes(0, 1)).reshape(
+            (self.n_dev * n_slabs * b_loc,) + a.shape[3:]
+        )
+
+    # ---------------- host-side chunk I/O ----------------
     def upload_chunk(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
         """Pad/bucket host-side and start the async H2D upload.
 
@@ -175,73 +239,76 @@ class DeviceExecutor:
             return jax.device_put(frames, self._sharding)
         return jax.device_put(frames)
 
-    def _collect(self, out) -> "np.ndarray | Tuple[np.ndarray, np.ndarray]":
-        """Materialize one sub-batch on the host in its consumer layout."""
-        if self.save_type == "h5":
-            return np.asarray(out)
-        if self.wire_pack:
-            ok, raw0, packed, exc_idx, exc_val, q_dev = out
-            if np.asarray(ok).all():
-                q = unpack_rows(
-                    np.asarray(raw0), np.asarray(packed), self.width,
-                    np.asarray(exc_idx), np.asarray(exc_val),
-                )
-            else:
-                # a pair's deltas overflowed 4 bits: fall back to the raw
-                # payload for this sub-batch (still exact, just unpacked)
-                q = np.asarray(q_dev)
-        else:
-            q = np.asarray(out)
-        if self.save_type == "jpg":
-            return q[:, 0], q[:, 1]
-        return np.moveaxis(q, 1, -1)  # png: back to (B, H, W, 3)
-
     def dispatch_chunk(self, frames, n_frames: int) -> list:
-        """Dispatch every sub-batch of a chunk asynchronously and start the
-        D2H copies of the wire-format leaves. Returns an opaque list for
-        `collect_chunk`. Dispatching chunk i+1 before collecting chunk i
-        keeps the chip busy through chunk i's D2H drain (the pipeline's
-        compute stage holds a small in-flight window of chunks).
+        """Dispatch the whole chunk's compute and start the D2H copy of its
+        wire buffer. Returns an opaque list for `collect_chunk`. The
+        pipeline dispatches chunk i+1 before collecting chunk i, so the
+        chip computes through chunk i's transfer drain.
 
         frames: (N', H, W) uint8, already padded/uploaded by
         `upload_chunk` (a raw np array is accepted and uploaded here as a
-        fallback). n_frames: the chunk's REAL frame count incl. halo. The
-        chunk has M = n_frames - |step| pairs. The last sub-batch clamps
-        its start back into range instead of relying on padded frames
-        (pairs recomputed in the overlap are byte-identical by per-pair
-        independence)."""
+        fallback). n_frames: the chunk's REAL frame count incl. halo; the
+        chunk has m = n_frames - |step| pairs, padded pairs are sliced off
+        host-side."""
         m = n_frames - self.astep
         if m <= 0:
             return []
         if isinstance(frames, np.ndarray):
             frames = self.upload_chunk(frames)
-
-        outs = []
-        for s in range(0, m, self.B):
-            s_eff = min(s, max(m - self.B, 0))
-            out = self._step(frames, s_eff)
-            if self.wire_pack and self.save_type != "h5":
-                # optimistic: transfer flag + packed form + exceptions; the
-                # raw payload stays on device unless a flag comes back False
-                for leaf in out[:5]:
-                    leaf.copy_to_host_async()
-            else:
-                for leaf in jax.tree.leaves(out):
-                    leaf.copy_to_host_async()
-            outs.append((out, s, s_eff, m))
-        return outs
+        mb = frames.shape[0] - self.astep
+        n_slabs = mb // self.B
+        slabs = tuple(
+            self._slab(frames, s) for s in range(0, mb, self.B)
+        )
+        out = self._get_pack(n_slabs)(slabs)
+        if self.wire_pack:
+            out[0].copy_to_host_async()  # buffer only; raw q stays on device
+        else:
+            out.copy_to_host_async()
+        return [(out, m, mb)]
 
     def collect_chunk(self, outs: list):
-        """Yield (payload, pair_offset, n_pairs) for a dispatched chunk, in
-        order, as each sub-batch's D2H lands."""
-        for out, s, s_eff, m in outs:
-            n = min(self.B, m - s)
-            off = s - s_eff
-            payload = self._collect(out)
-            if isinstance(payload, tuple):
-                yield (payload[0][off : off + n], payload[1][off : off + n]), s, n
+        """Yield (payload, pair_offset, n_pairs) per dispatched chunk.
+        jpg -> (imgs_x, imgs_y) uint8 (m, H, W); png -> (m, H, W, 3) uint8;
+        h5 -> (m, H, W, 2) float32."""
+        for out, m, mb in outs:
+            n_slabs = mb // self.B
+            if not self.wire_pack:
+                q = self._deinterleave(np.asarray(out), n_slabs)[:m]
             else:
-                yield payload[off : off + n], s, n
+                buf_dev, q_dev = out
+                flags, q = self._unpack_shards(np.asarray(buf_dev), mb)
+                flags = self._deinterleave(flags, n_slabs)
+                if flags[:m].all():
+                    q = self._deinterleave(q, n_slabs)
+                else:
+                    # a pair overflowed the codec's exception channel:
+                    # fetch the exact raw payload kept on device
+                    q = self._deinterleave(np.asarray(q_dev), n_slabs)
+                q = q[:m]
+            if self.save_type == "h5":
+                yield q, 0, m
+            elif self.save_type == "jpg":
+                yield (q[:, 0], q[:, 1]), 0, m
+            else:
+                yield np.moveaxis(q, 1, -1), 0, m
+
+    def _unpack_shards(self, buf: np.ndarray, mb: int):
+        """Decode the chunk's wire buffer: one segment per device shard
+        (shard r packed pairs [r*m_loc, (r+1)*m_loc) into its own section)."""
+        c, h, w = self.n_chan, self.height, self.width
+        if self.n_dev == 1:
+            return unpack_chunk_fast(buf, mb, c, h, w, EXC_CAP)
+        m_loc = mb // self.n_dev
+        seg = buf.size // self.n_dev
+        flags, qs = [], []
+        for r in range(self.n_dev):
+            f, q = unpack_chunk_fast(
+                buf[r * seg : (r + 1) * seg], m_loc, c, h, w, EXC_CAP
+            )
+            flags.append(f)
+            qs.append(q)
+        return np.concatenate(flags), np.concatenate(qs)
 
     def iter_chunk(self, frames, n_frames: int):
         """dispatch_chunk + collect_chunk in one call (single-chunk use)."""
@@ -250,9 +317,7 @@ class DeviceExecutor:
     def run_chunk(
         self, frames, n_frames: int
     ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
-        """Blocking form of `iter_chunk`: the whole chunk's payload at once.
-        jpg -> (imgs_x, imgs_y) uint8 (M, H, W); png -> (M, H, W, 3) uint8;
-        h5 -> (M, H, W, 2) float32."""
+        """Blocking form of `iter_chunk`: the whole chunk's payload at once."""
         outs = [p for p, _, _ in self.iter_chunk(frames, n_frames)]
         if not outs:
             if self.save_type == "jpg":

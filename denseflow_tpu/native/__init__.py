@@ -43,7 +43,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        srcs = [os.path.join(_DIR, s) for s in ("emitter.cpp", "wire.cpp")]
+        stale = not os.path.exists(_LIB_PATH) or any(
+            os.path.exists(s)
+            and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in srcs
+        )
+        if stale and not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -65,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int,
         ]
         lib.df_write_png_batch.restype = ctypes.c_int
+        if hasattr(lib, "df_wire_unpack"):
+            lib.df_wire_unpack.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, u8p, u8p, ctypes.c_int,
+            ]
+            lib.df_wire_unpack.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -116,6 +128,35 @@ def write_jpg_color_batch(
     )
     if rc != n:
         raise RuntimeError("native color jpg batch write failed")
+
+
+def has_wire() -> bool:
+    """True when the loaded library includes the wire-codec decoder
+    (a stale .so built before wire.cpp existed won't)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_wire_unpack")
+
+
+def wire_unpack(
+    buf: np.ndarray, m: int, c: int, h: int, w: int, exc_cap: int,
+    n_threads: int = 0,
+):
+    """Decode a wire.py v2 buffer: returns (flags (M,) bool, q (M,C,H,W)
+    uint8). Pairs with flag False are left unwritten in q (raw fallback)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    flags = np.empty(m, np.uint8)
+    q = np.empty((m, c, h, w), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.df_wire_unpack(
+        buf.ctypes.data_as(u8p), m, c, h, w, exc_cap,
+        flags.ctypes.data_as(u8p), q.ctypes.data_as(u8p),
+        n_threads or DEFAULT_THREADS,
+    )
+    if rc != 0:
+        raise RuntimeError("native wire unpack failed")
+    return flags.astype(bool), q
 
 
 def write_png_batch(

@@ -1,78 +1,121 @@
-"""Wire codec (wire.py): lossless round-trip + executor integration.
+"""Wire codec (wire.py v2): lossless round-trip + executor integration.
 
-The codec halves device-link bytes for smooth payloads (4-bit deltas +
-sparse exception fixups) and must be exactly lossless — the e2e
-byte-identity suites depend on it being a no-op semantically."""
+The chunk-level codec cuts device-link bytes ~3.3x for quantized flow
+(2-bit row deltas + sparse exception fixups, one buffer per chunk) and
+must be exactly lossless — the e2e byte-identity suites depend on it being
+a no-op semantically. The native C++ decoder and the NumPy fallback must
+agree bit-for-bit."""
 
 import numpy as np
 import pytest
 
-from denseflow_tpu.wire import pack_rows, packed_width, unpack_rows
+from denseflow_tpu.wire import (
+    EXC_CAP,
+    buffer_size,
+    codes_width,
+    pack_chunk,
+    unpack_chunk,
+)
 
 
-def _np(t):
-    import jax
-
-    return jax.tree.map(np.asarray, t)
+def _pack(q, exc_cap=EXC_CAP):
+    return np.asarray(pack_chunk(q, exc_cap))
 
 
-def roundtrip(q, exc_cap=1024):
-    ok, raw0, packed, ei, ev = _np(pack_rows(q, exc_cap))
-    assert ok.all(), "expected packable"
-    return unpack_rows(raw0, packed, q.shape[-1], ei, ev)
+def roundtrip(q, exc_cap=EXC_CAP, expect_ok=True):
+    m, c, h, w = q.shape
+    buf = _pack(q, exc_cap)
+    assert buf.shape == (buffer_size(m, c, h, w, exc_cap),)
+    flags, out = unpack_chunk(buf, m, c, h, w, exc_cap)
+    if expect_ok:
+        assert flags.all(), "expected packable"
+    return flags, out
 
 
 class TestRoundTrip:
     def test_smooth_round_trips(self, rng):
-        q = np.cumsum(rng.integers(-7, 8, (4, 2, 33, 341)), axis=-1).astype(
-            np.uint8
+        # piecewise-constant-ish: deltas in {-1, 0, +1} everywhere
+        q = np.cumsum(
+            rng.choice([0, 0, 0, 1, 255], (4, 2, 33, 341)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
         )
-        ok, raw0, packed, ei, ev = _np(pack_rows(q))
-        assert ok.shape == (4,) and ok.all()
-        assert (ei == -1).all()  # no violations at all
-        assert packed.shape[-1] == packed_width(341)
-        assert (unpack_rows(raw0, packed, 341, ei, ev) == q).all()
+        flags, out = roundtrip(q)
+        assert flags.shape == (4,)
+        assert (out == q).all()
 
     def test_sparse_violations_corrected(self, rng):
-        q = np.cumsum(rng.integers(-7, 8, (2, 2, 16, 101)), axis=-1).astype(
-            np.uint8
+        q = np.cumsum(
+            rng.choice([0, 0, 1, 255], (2, 2, 16, 101)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
         )
-        # inject big jumps (delta overflow) at scattered positions,
-        # including two in the same row
-        q[0, 0, 3, 40:] += 100
-        q[0, 0, 3, 70:] += 201  # second violation in the same row
-        q[1, 1, 15, 100] += 50  # last column
-        q[0, 1, 0, 1] += 77  # first delta of the array
-        out = roundtrip(q)
+        # big jumps (2-bit escapes) at scattered positions
+        q[0, 0, 3, 40:] += np.uint8(100)
+        q[0, 0, 3, 70:] += np.uint8(201)  # second escape in the same row
+        q[1, 1, 15, 100] += np.uint8(50)  # last column
+        q[0, 1, 0, 1] += np.uint8(77)  # first delta of the array
+        flags, out = roundtrip(q)
         assert (out == q).all()
 
     def test_cap_overflow_flags_not_ok(self, rng):
         q = rng.integers(0, 256, (2, 2, 16, 64), dtype=np.uint8)
-        ok, *_ = _np(pack_rows(q, exc_cap=16))
-        assert not ok.any()
+        flags, _ = roundtrip(q, exc_cap=16, expect_ok=False)
+        assert not flags.any()
 
     def test_per_pair_flags(self, rng):
-        smooth = np.cumsum(rng.integers(-7, 8, (1, 2, 16, 64)), axis=-1)
-        noisy = rng.integers(0, 256, (1, 2, 16, 64))
-        q = np.concatenate([smooth, noisy]).astype(np.uint8)
-        ok, *_ = _np(pack_rows(q, exc_cap=16))
-        assert list(ok) == [True, False]
+        smooth = np.zeros((1, 2, 16, 64), np.uint8) + 7
+        noisy = rng.integers(0, 256, (1, 2, 16, 64), dtype=np.uint8)
+        q = np.concatenate([smooth, noisy])
+        flags, out = roundtrip(q, exc_cap=16, expect_ok=False)
+        assert list(flags) == [True, False]
+        assert (out[0] == q[0]).all()  # ok pair still decodes exactly
 
-    @pytest.mark.parametrize("w", [1, 2, 3, 8, 127, 340, 341])
+    @pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 8, 127, 340, 341])
     def test_widths(self, rng, w):
-        q = np.cumsum(rng.integers(-7, 8, (2, 3, w)), axis=-1).astype(np.uint8)
-        assert (roundtrip(q) == q).all()
+        q = np.cumsum(
+            rng.choice([0, 1, 255], (2, 3, w)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        ).reshape(2, 1, 3, w)
+        assert codes_width(w) == (w - 1 + 3) // 4
+        flags, out = roundtrip(q)
+        assert (out == q).all()
 
     def test_mod256_wraparound_deltas(self):
-        # 250 -> 253 -> 0 -> 3 crosses the wrap: deltas are +3 mod 256
-        q = np.array([[[250, 253, 0, 3, 252, 251]]], dtype=np.uint8)
-        assert (roundtrip(q) == q).all()
+        # 250 -> 251 -> 252 -> ... -> 0 -> 1 crosses the wrap with +1 codes
+        q = (np.arange(250, 262, dtype=np.int32) % 256).astype(np.uint8)
+        q = q.reshape(1, 1, 1, 12)
+        flags, out = roundtrip(q)
+        assert (out == q).all()
 
     def test_full_random_exact_with_big_cap(self, rng):
-        # every delta may violate; with cap >= n_deltas decode is still exact
+        # every delta may escape; with cap >= n_deltas decode is still exact
         q = rng.integers(0, 256, (2, 1, 8, 33), dtype=np.uint8)
-        out = roundtrip(q, exc_cap=8 * 32)
+        flags, out = roundtrip(q, exc_cap=8 * 32)
+        assert flags.all()
         assert (out == q).all()
+
+    def test_native_matches_numpy(self, rng):
+        from denseflow_tpu import native
+
+        if not (native.available() and native.has_wire()):
+            pytest.skip("native wire decoder not built")
+        q = np.cumsum(
+            rng.choice([0, 0, 1, 255], (6, 2, 48, 131)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        )
+        q[1, 0, 7, 90:] += np.uint8(123)  # one escape
+        q[4] = rng.integers(0, 256, (2, 48, 131))  # overflow pair
+        buf = _pack(q, 64)
+        f_np, q_np = unpack_chunk(buf, 6, 2, 48, 131, 64)
+        f_nat, q_nat = native.wire_unpack(buf, 6, 2, 48, 131, 64)
+        assert (f_np == f_nat).all()
+        for p in range(6):
+            if f_np[p]:
+                assert (q_np[p] == q[p]).all()
+                assert (q_nat[p] == q[p]).all()
 
 
 class TestExecutorIntegration:
@@ -104,9 +147,10 @@ class TestExecutorIntegration:
             assert x.shape == y.shape
             assert (x == y).all()
 
-    def test_tail_clamp_offsets(self):
-        # 14 frames, step 1 -> 13 pairs over batches of 4: the last batch
-        # clamps its start back to 9 and yields only its final pair
+    def test_bucket_padding_sliced_off(self):
+        # 14 frames, step 1 -> 13 pairs, bucketed up to 16 with repeated
+        # last-frame padding: padded pairs must be sliced off, and each
+        # pair must match its stand-alone solve (per-pair independence)
         from denseflow_tpu.executor import DeviceExecutor
         import scipy.ndimage as ndi
 
@@ -121,8 +165,6 @@ class TestExecutorIntegration:
         )
         full_x, full_y = ex.run_chunk(frames, 14)
         assert full_x.shape[0] == 13
-        # pairwise reference: each pair solved alone must match the batched
-        # tail-clamped output (per-pair independence)
         for i in (8, 9, 12):
             one_x, one_y = ex.run_chunk(frames[i : i + 2].copy(), 2)
             assert (one_x[0] == full_x[i]).all()
