@@ -68,9 +68,6 @@ class TVL1Params:
     #               all VMEM-resident (kernels/tvl1_fused.py). Fastest: the
     #               XLA path's bottleneck is the warp sweep streaming the
     #               image stack through HBM per shift.
-    #   "iterate" — Pallas kernel for the primal-dual loop only
-    #               (kernels/tvl1_pallas.py); warp stays in XLA.
-    #   "on"      — alias for "iterate" (back-compat).
     #   "off"     — pure XLA (lax.while_loop); the CPU / oracle path.
     #   "auto"    — "fused" on TPU at every geometry (working sets beyond
     #               VMEM are spatially tiled — tvl1_fused.plan_tiles), "off"
@@ -83,8 +80,6 @@ def _pallas_mode(p: "TVL1Params", h: int, w: int) -> str:
         import jax as _jax
 
         return "off" if _jax.default_backend() == "cpu" else "fused"
-    if p.use_pallas == "on":
-        return "iterate"
     return p.use_pallas
 
 
@@ -138,20 +133,6 @@ def _solve_one_scale(
         I1w, I1wx, I1wy = warped[0], warped[1], warped[2]
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1_0 - I1wy * u2_0 - I0
-
-        if mode == "iterate":
-            from denseflow_tpu.kernels.tvl1_pallas import tvl1_iterate_pallas
-
-            u1n, u2n, p11n, p12n, p21n, p22n = tvl1_iterate_pallas(
-                I1wx, I1wy, rho_c, grad, u1, u2, p11, p12, p21, p22,
-                l_t=float(l_t),
-                theta=float(p.theta),
-                taut=float(taut),
-                epsilon=float(p.epsilon),
-                iterations=int(p.iterations),
-                check_every=int(p.check_every),
-            )
-            return (u1n, u2n, p11n, p12n, p21n, p22n), None
 
         def iter_cond(state):
             _, _, _, _, _, _, active, n = state

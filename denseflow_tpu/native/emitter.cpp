@@ -10,7 +10,6 @@
 // C ABI (used from Python via ctypes):
 //   df_write_jpg_batch   - gray (n,h,w) planes -> <prefix><infix>_%05d.jpg
 //   df_write_png_batch   - BGR  (n,h,w,3) planes -> <prefix><infix>_%05d.png
-//   df_write_raw_batch   - pre-encoded buffers -> files (generic fanout)
 //
 // File naming (infix/index offset) is decided by the Python layer so the
 // grammar lives in exactly one place (denseflow_tpu/io/writer.py).
@@ -186,24 +185,6 @@ int df_write_jpg_color_batch(const uint8_t* imgs, int n, int h, int w,
         JpegBuf buf;
         if (!encode_jpeg(imgs + i * plane, h, w, 3, quality, &buf)) return false;
         return write_file(files[i], buf.data, buf.size);
-    });
-}
-
-// Generic pre-encoded fanout: buffers concatenated, sizes[i] each.
-int df_write_raw_batch(const uint8_t* data, const long* sizes, int n,
-                       const char* paths, int n_threads) {
-    std::vector<const char*> files(n);
-    std::vector<const uint8_t*> bufs(n);
-    const char* p = paths;
-    const uint8_t* d = data;
-    for (int i = 0; i < n; ++i) {
-        files[i] = p;
-        p += strlen(p) + 1;
-        bufs[i] = d;
-        d += sizes[i];
-    }
-    return parallel_for(n, n_threads, [&](int i) {
-        return write_file(files[i], bufs[i], sizes[i]);
     });
 }
 

@@ -1,7 +1,8 @@
-"""Core image ops (pure JAX): color, resize, warping, gradients, filters,
-pyramids. These are the building blocks shared by all flow solvers."""
+"""Core image ops (pure JAX): resize, warping, gradients, filters,
+pyramids. These are the building blocks shared by all flow solvers.
+(Grayscale conversion happens host-side in the decode stage — cv2 — so
+only gray uint8 crosses the wire.)"""
 
-from denseflow_tpu.ops.color import bgr_to_gray
 from denseflow_tpu.ops.resize import resize_bilinear, compute_new_size
 from denseflow_tpu.ops.warp import warp_bicubic, warp_bilinear
 from denseflow_tpu.ops.derivatives import (
@@ -13,7 +14,6 @@ from denseflow_tpu.ops.filters import gaussian_kernel_1d, sep_filter2d, box_filt
 from denseflow_tpu.ops.pyramid import build_pyramid, pyramid_shapes
 
 __all__ = [
-    "bgr_to_gray",
     "resize_bilinear",
     "compute_new_size",
     "warp_bicubic",

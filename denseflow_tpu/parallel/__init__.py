@@ -1,3 +1,5 @@
-from denseflow_tpu.parallel.mesh import make_mesh, shard_batch, sharded_solver
+"""Multi-host layer: jax.distributed init + the run's one collective."""
 
-__all__ = ["make_mesh", "shard_batch", "sharded_solver"]
+from denseflow_tpu.parallel.distributed import allreduce_counters, init_distributed
+
+__all__ = ["allreduce_counters", "init_distributed"]

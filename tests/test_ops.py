@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from denseflow_tpu.ops.color import bgr_to_gray
 from denseflow_tpu.ops.derivatives import (
     centered_gradient,
     divergence,
@@ -18,13 +17,6 @@ from denseflow_tpu.ops.resize import (
     resize_bilinear_u8,
 )
 from denseflow_tpu.ops.warp import warp_bicubic, warp_bilinear
-
-
-def test_bgr_to_gray_matches_cv2(rng):
-    bgr = rng.integers(0, 256, (32, 41, 3), dtype=np.uint8)
-    ours = np.asarray(bgr_to_gray(jnp.asarray(bgr)))
-    ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
-    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
 
 
 @pytest.mark.parametrize("dst", [(31, 43), (97, 129), (48, 64)])
