@@ -65,14 +65,30 @@ def solver_params(algorithm: str, preset: str | None = None):
     return table[key]
 
 
-def make_solver(algorithm: str, height: int, width: int, preset: str | None = None) -> Callable:
+def make_solver(
+    algorithm: str,
+    height: int,
+    width: int,
+    preset: str | None = None,
+    max_disp: int = 0,
+) -> Callable:
     """Return a jit-compiled batched solver f(I0_u8, I1_u8) -> (B,H,W,2) f32.
 
     I0/I1 are uint8 gray (B, H, W); the solver handles dtype conversion with
     each algorithm's own convention (TVL1/Farneback work in 0..255,
     Brox in [0,1] — reference src/denseflow_gpu.cpp:331-333).
+
+    max_disp > 0 overrides the solver's finest-level displacement clamp
+    (the px radius the TPU-native masked-shift warp can track; the
+    reference's CUDA warp is an unclamped texture fetch, so raising this
+    recovers its unbounded-motion semantics at proportional warp-sweep
+    cost). 0 keeps each algorithm's default (40 px).
     """
+    import dataclasses
+
     params = solver_params(algorithm, preset)
+    if max_disp > 0:
+        params = dataclasses.replace(params, max_disp=int(max_disp))
     if algorithm in ("tvl1", "nv"):
         return make_tvl1_solver(height, width, params)
     if algorithm == "farn":

@@ -69,8 +69,11 @@ TPU extensions:
     --devices (value:0)        local chips to shard pair batches over
                                (0 = all local devices)
     --profile=DIR              capture a jax.profiler trace into DIR
-    --wirePack (value:1)       lossless 4-bit delta packing of quantized
+    --wirePack (value:1)       lossless entropy packing of quantized
                                payloads over the device link (0 disables)
+    --maxDisp (value:0)        finest-level displacement clamp in px
+                               (0 = solver default 40); raise for very
+                               fast motion at high resolution
 """
 
 # short/long aliases -> (config field, type); bool fields are presence flags
@@ -110,6 +113,7 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "distributed": ("distributed", bool),
     "coordinator": ("coordinator", str),
     "wirePack": ("wire_pack", bool),
+    "maxDisp": ("max_disp", int),
 }
 
 _TRUE = ("", "true", "1", "yes")

@@ -87,6 +87,13 @@ class FlowConfig:
     # jax.distributed coordinator address (HOST:PORT) for --distributed
     # outside TPU auto-detection environments.
     coordinator: str = ""
+    # Finest-level displacement clamp (px) of the solvers' masked-shift
+    # warp; 0 = per-algorithm default (40). The reference's CUDA warp is an
+    # unclamped texture fetch (reference src/denseflow_gpu.cpp:327), so for
+    # very fast motion at high resolution raise this (warp-sweep cost grows
+    # proportionally). The png save path advertises bounds up to 1020
+    # (reference src/common.cpp:24).
+    max_disp: int = 0
 
     def validate(self) -> None:
         """Raise ValueError on any violation of the reference's rules
@@ -107,6 +114,8 @@ class FlowConfig:
             raise ValueError("pair_batch should > 0!")
         if self.devices < 0:
             raise ValueError("devices cannot < 0!")
+        if self.max_disp < 0:
+            raise ValueError("maxDisp cannot < 0!")
         if self.preset:
             from denseflow_tpu.algorithms import solver_params
 

@@ -68,6 +68,7 @@ class DeviceExecutor:
         preset: "str | None" = None,
         n_devices: int = 0,
         wire_pack: bool = True,
+        max_disp: int = 0,
     ) -> None:
         self.height = height
         self.width = width
@@ -90,7 +91,7 @@ class DeviceExecutor:
         self.astep = abs(step)
         # largest pair bucket (chunk_capacity is the max pairs per chunk)
         self.max_pairs = self._bucket(max(chunk_capacity, self.B))
-        self._solver = make_solver(algorithm, height, width, preset)
+        self._solver = make_solver(algorithm, height, width, preset, max_disp)
         self._off_a = 0 if step > 0 else self.astep
         self._off_b = step if step > 0 else 0
         self._packs: dict = {}  # n_slabs -> jitted concat+pack step
@@ -346,8 +347,9 @@ def get_executor(
     preset: "str | None" = None,
     n_devices: int = 0,
     wire_pack: bool = True,
+    max_disp: int = 0,
 ) -> DeviceExecutor:
     return DeviceExecutor(
         algorithm, height, width, step, bound, save_type, pair_batch,
-        chunk_capacity, preset, n_devices, wire_pack,
+        chunk_capacity, preset, n_devices, wire_pack, max_disp,
     )

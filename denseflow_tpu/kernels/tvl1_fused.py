@@ -18,17 +18,21 @@ HBM traffic per scale drops to one load of (I0, I1, I1x, I1y, u1, u2) and
 one store of (u1, u2) — about 24 plane-passes less than the XLA path pays
 PER ITERATION. The kernel is VPU-bound.
 
-VMEM budget: ~19 live f32 planes; at the 256x341 bench geometry (padded to
-256x384) that is ~7.5 MB of the ~16 MB/core. Geometries whose working set
-exceeds VMEM do NOT fall back to XLA: `tvl1_scale_fused_tiled` splits the
-plane into overlapping spatial tiles (halo `TILE_HALO` px, discarded at
+VMEM budget: ~20 live f32 planes (`_PLANES`); at the 256x341 bench geometry
+(padded to 256x384) that is ~7.9 MB of the ~16 MB/core, and the planner
+sizes tiles against a 14 MB budget so the estimate has a ~2 MB safety
+margin. Geometries whose working set exceeds VMEM do NOT fall back to XLA:
+`tvl1_scale_fused_tiled` splits the plane into overlapping spatial tiles
+(halo sized to the warp clamp: max_disp + cubic support, discarded at
 interior seams), folds the tiles into the batch grid, and stitches the
 retained cores — so 360p/480p/1080p keep the VMEM-resident path at the cost
 of redundant compute in the halo bands (measured ~1.2-1.6x pixels at
-360-480p). Seam fidelity: a core pixel sits >= TILE_HALO px from its tile
-edge; its warp taps and ~40 primal-dual influence radius stay inside the
-tile unless the local flow exceeds TILE_HALO-2 px, so seams are exact for
-typical motion and degrade only under extreme displacement at a seam.
+360-480p). Seam fidelity: a core pixel sits >= halo px from its tile edge,
+so its warp taps stay inside the tile BY CONSTRUCTION (halo >= max_disp +
+_SUPPORT); the TV term's influence and the per-tile epsilon stop / warp
+early-exit are not strictly bounded by the halo, so seams carry
+sub-epsilon differences (measured ~1e-1 px worst-case on low-texture
+content where TV fill-in is strongest — tests/test_tiling.py pins this).
 """
 
 from __future__ import annotations
@@ -57,8 +61,13 @@ def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
 
 
 _PLANES = 20  # live f32 planes in the kernel (conservative estimate)
+# planner budget: ~2 MB below the 16 MB/core VMEM so a modest error in the
+# _PLANES estimate cannot push a planned tile past Mosaic's allocator
 _VMEM_BUDGET = 14 * 1024 * 1024
-TILE_HALO = 40  # px discarded at interior tile seams (see module doc)
+# default px discarded at interior tile seams; tvl1_scale_fused_tiled
+# derives the actual halo from its max_disp so warp-tap containment holds
+# by construction (see module doc)
+TILE_HALO = 40 + _SUPPORT
 
 
 def fits_vmem(h: int, w: int, budget_bytes: int = _VMEM_BUDGET) -> bool:
@@ -97,7 +106,7 @@ def plan_tiles(h: int, w: int, halo: int = TILE_HALO,
     wp = -(-w // 128) * 128
     best = None
     tw = wp
-    while tw >= 256:
+    while tw >= 128:
         th_max = budget_bytes // (_PLANES * 4 * tw) // 8 * 8
         th = min(hp, th_max)
         ok_h = th >= hp or th > 2 * halo + 8
@@ -398,9 +407,16 @@ def tvl1_scale_fused_tiled(
     subproblem — border conventions apply at tile edges, which is wrong at
     interior seams but confined to the discarded halo band; the per-tile
     epsilon stop uses the tile area. Shapes static, so the tiling resolves
-    entirely at trace time."""
+    entirely at trace time.
+
+    The halo is derived from this call's max_disp (+ the cubic tap
+    support), so a core pixel's warp taps are contained in its tile by
+    construction even at the clamp."""
+    import numpy as np
+
     b, h, w = u1.shape
-    plan = plan_tiles(h, w, budget_bytes=tile_budget)
+    halo = int(np.ceil(float(kw.get("max_disp", TILE_HALO - _SUPPORT)))) + _SUPPORT
+    plan = plan_tiles(h, w, halo=halo, budget_bytes=tile_budget)
     if plan is None:
         return tvl1_scale_fused(I0, I1, I1x, I1y, u1, u2, **kw)
     hs, ws, th, tw, hb, wb = plan

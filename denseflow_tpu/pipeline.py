@@ -127,6 +127,7 @@ class Pipeline:
                                 cfg.algorithm, h, w, cfg.step, cfg.bound,
                                 cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
                                 cfg.preset, cfg.devices, cfg.wire_pack,
+                                cfg.max_disp,
                             )
                             frames = ex.upload_chunk(frames)
                         except Exception as e:
@@ -226,6 +227,7 @@ class Pipeline:
                         cfg.preset,
                         cfg.devices,
                         cfg.wire_pack,
+                        cfg.max_disp,
                     )
                     with self.timers.track("compute"):
                         outs = ex.dispatch_chunk(item.frames, item.n_frames)

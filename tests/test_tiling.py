@@ -54,6 +54,16 @@ class TestPlanner:
         assert plan_tiles(256, 341) is None
         assert plan_tiles(64, 80) is None
 
+    def test_narrow_tall_geometry_plans(self):
+        """w <= 128 with huge h must tile along H (ADVICE r2: the planner
+        used to stop at tw=256 and raise for narrow-but-tall planes)."""
+        plan = plan_tiles(40000, 120)
+        assert plan is not None
+        hs, ws, th, tw, hb, wb = plan
+        assert len(ws) == 1 and len(hs) > 1
+        assert fits_vmem(th, tw)
+        assert hb[0] == 0 and hb[-1] == 40000
+
     def test_axis_starts_cover(self):
         for n, tile, halo in [(300, 256, 40), (640, 256, 40), (480, 280, 40)]:
             starts = _axis_starts(n, tile, halo)
@@ -97,3 +107,37 @@ class TestTiledKernel:
         # seams introduce only sub-epsilon differences for in-halo motion
         assert du.mean() < 0.02 and dv.mean() < 0.02
         assert du.max() < 0.25 and dv.max() < 0.25
+
+    def test_tiled_matches_untiled_low_texture(self):
+        """Low-texture content is the worst case for seams: the TV term
+        fills flow in from far away, and its influence is NOT bounded by
+        the warp halo (ADVICE r2). Pin the seam deviation there too."""
+        import jax.numpy as jnp
+
+        h, w, budget = 96, 300, 2 * 1024 * 1024
+        rng = np.random.default_rng(7)
+        import scipy.ndimage as ndi
+
+        # almost flat: heavy blur + tiny amplitude over a dim ramp
+        base = ndi.gaussian_filter(
+            rng.uniform(0, 12, (h + 8, w + 8)), 6.0
+        ).astype(np.float32) + np.linspace(0, 30, w + 8, dtype=np.float32)
+        I0 = jnp.asarray(base[:h, :w][None])
+        I1 = jnp.asarray(base[2 : 2 + h, 1 : 1 + w][None])
+        from denseflow_tpu.ops.derivatives import centered_gradient
+
+        I1x, I1y = centered_gradient(I1)
+        z = jnp.zeros_like(I0)
+        kw = dict(
+            l_t=0.15 * 0.3, theta=0.3, taut=0.25 / 0.3, epsilon=0.01,
+            iterations=30, warps=3, max_disp=12.0, check_every=4,
+            interpret=True,
+        )
+        u1r, u2r = tvl1_scale_fused(I0, I1, I1x, I1y, z, z, **kw)
+        u1t, u2t = tvl1_scale_fused_tiled(
+            I0, I1, I1x, I1y, z, z, tile_budget=budget, **kw
+        )
+        du = np.abs(np.asarray(u1t) - np.asarray(u1r))
+        dv = np.abs(np.asarray(u2t) - np.asarray(u2r))
+        assert du.mean() < 0.05 and dv.mean() < 0.05
+        assert du.max() < 0.5 and dv.max() < 0.5
