@@ -49,7 +49,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from denseflow_tpu.algorithms import make_solver
 from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
-from denseflow_tpu.wire import EXC_CAP, pack_chunk, unpack_chunk_fast
+from denseflow_tpu.wire import (
+    EXC_CAP,
+    pack_chunk,
+    pack_chunk_v3,
+    unpack_chunk_fast,
+    unpack_chunk_v3_fast,
+)
+
+# Prefix-transfer granularity: v3 transfer sizes are rounded up to this, so
+# a handful of slice programs cover every chunk (content-dependent lengths
+# would otherwise compile one program per distinct byte count).
+_PREFIX_QUANTUM = 512 * 1024
+
+
+@lru_cache(maxsize=64)
+def _prefix_fn(nbytes: int):
+    """Jitted `buf[:nbytes]` (static size, start 0) for prefix transfer."""
+    return jax.jit(lambda b: jax.lax.dynamic_slice(b, (0,), (nbytes,)))
+
+
+@lru_cache(maxsize=64)
+def _tail_fn(nbytes: int):
+    """Jitted `buf[start:start+nbytes]` (traced start) for the rare case
+    where a chunk's used length exceeds the predicted prefix."""
+    return jax.jit(
+        lambda b, start: jax.lax.dynamic_slice(b, (start,), (nbytes,))
+    )
+
+
+def _quantize_up(n: int, cap: int) -> int:
+    return min(-(-n // _PREFIX_QUANTUM) * _PREFIX_QUANTUM, cap)
 
 
 class DeviceExecutor:
@@ -180,7 +210,8 @@ class DeviceExecutor:
                 q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
                 if not do_pack:
                     return q
-                return pack_chunk(q, EXC_CAP), q
+                # v3: sparse-group pack; only buf[:used] crosses the link
+                return pack_chunk_v3(q, EXC_CAP), q
 
             fn = jax.jit(pack_step)
         else:
@@ -263,10 +294,44 @@ class DeviceExecutor:
         )
         out = self._get_pack(n_slabs)(slabs)
         if self.wire_pack:
-            out[0].copy_to_host_async()  # buffer only; raw q stays on device
+            if self.n_dev == 1:
+                # start the D2H of a PREDICTED prefix immediately — no
+                # length round-trip gates the big transfer; collect fetches
+                # the (rare) tail beyond the prediction separately
+                (buf, used), q = out
+                used.copy_to_host_async()
+                total = buf.shape[0]
+                pred = _quantize_up(self._predict_used(mb), total)
+                pref = buf if pred >= total else _prefix_fn(pred)(buf)
+                pref.copy_to_host_async()
+                return [(((buf, used, pref, pred), q), m, mb)]
+            out[0].copy_to_host_async()  # fixed-layout v2 buffer
         else:
             out.copy_to_host_async()
         return [(out, m, mb)]
+
+    # Fraction of the codes region assumed occupied when no chunk of this
+    # geometry has been measured yet (measured solver output runs ~7-35%).
+    _BPP_INIT_OCCUPANCY = 0.4
+    # Headroom over the last measured bytes/pair: under-prediction costs a
+    # second (tail) transfer round-trip, over-prediction only extra bytes.
+    _BPP_MARGIN = 1.2
+
+    def _predict_used(self, mb: int) -> int:
+        from denseflow_tpu.wire import _v3_geom, v3_fixed_size
+
+        _, _, _, ng, _ = _v3_geom(self.n_chan, self.height, self.width)
+        fixed = v3_fixed_size(mb, self.n_chan, self.height, self.width)
+        bpp = getattr(self, "_bpp_est", None)
+        if bpp is None:
+            bpp = self._BPP_INIT_OCCUPANCY * ng
+        return int(fixed + self._BPP_MARGIN * bpp * mb)
+
+    def _note_used(self, used: int, mb: int) -> None:
+        from denseflow_tpu.wire import v3_fixed_size
+
+        fixed = v3_fixed_size(mb, self.n_chan, self.height, self.width)
+        self._bpp_est = max(used - fixed, 0) / max(mb, 1)
 
     def collect_chunk(self, outs: list):
         """Yield (payload, pair_offset, n_pairs) per dispatched chunk.
@@ -276,6 +341,26 @@ class DeviceExecutor:
             n_slabs = mb // self.B
             if not self.wire_pack:
                 q = self._deinterleave(np.asarray(out), n_slabs)[:m]
+            elif self.n_dev == 1:
+                (buf_dev, used_dev, pref, pred), q_dev = out
+                used = int(np.asarray(used_dev))
+                self._note_used(used, mb)
+                if used <= pred:
+                    arr = np.asarray(pref)
+                else:
+                    tail_n = _quantize_up(used - pred, buf_dev.shape[0] - pred)
+                    tail = _tail_fn(tail_n)(buf_dev, np.int32(pred))
+                    arr = np.concatenate(
+                        [np.asarray(pref), np.asarray(tail)[: used - pred]]
+                    )
+                flags, q = unpack_chunk_v3_fast(
+                    arr, mb, self.n_chan, self.height, self.width, EXC_CAP
+                )
+                if not flags[:m].all():
+                    # a pair overflowed the codec's exception channel:
+                    # fetch the exact raw payload kept on device
+                    q = np.asarray(q_dev)
+                q = q[:m]
             else:
                 buf_dev, q_dev = out
                 flags, q = self._unpack_shards(np.asarray(buf_dev), mb)

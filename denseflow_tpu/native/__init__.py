@@ -71,12 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int,
         ]
         lib.df_write_png_batch.restype = ctypes.c_int
-        if hasattr(lib, "df_wire_unpack"):
-            lib.df_wire_unpack.argtypes = [
-                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, u8p, u8p, ctypes.c_int,
-            ]
-            lib.df_wire_unpack.restype = ctypes.c_int
+        for sym in ("df_wire_unpack", "df_wire_unpack_v3"):
+            if hasattr(lib, sym):
+                fn = getattr(lib, sym)
+                fn.argtypes = [
+                    u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, u8p, u8p, ctypes.c_int,
+                ]
+                fn.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -156,6 +158,33 @@ def wire_unpack(
     )
     if rc != 0:
         raise RuntimeError("native wire unpack failed")
+    return flags.astype(bool), q
+
+
+def has_wire_v3() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_wire_unpack_v3")
+
+
+def wire_unpack_v3(
+    buf: np.ndarray, m: int, c: int, h: int, w: int, exc_cap: int,
+    n_threads: int = 0,
+):
+    """Decode a wire.py v3 (sparse-group) buffer: returns (flags (M,) bool,
+    q (M,C,H,W) uint8). Pairs with flag False are left unwritten in q."""
+    lib = _load()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    flags = np.empty(m, np.uint8)
+    q = np.empty((m, c, h, w), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.df_wire_unpack_v3(
+        buf.ctypes.data_as(u8p), m, c, h, w, exc_cap,
+        flags.ctypes.data_as(u8p), q.ctypes.data_as(u8p),
+        n_threads or DEFAULT_THREADS,
+    )
+    if rc != 0:
+        raise RuntimeError("native wire v3 unpack failed")
     return flags.astype(bool), q
 
 

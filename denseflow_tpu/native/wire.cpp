@@ -107,4 +107,96 @@ int df_wire_unpack(const uint8_t* buf, int m, int c, int h, int w,
     return 0;
 }
 
+// v3 buffer (see wire.py::pack_chunk_v3): sparse-group codes + variable
+// exception section. Sections: flags m | n_exc lo m | n_exc hi m |
+// seeds m*rows | bitmap m*bw | codes (1 byte per occupied group,
+// pair-major) | exc (4 bytes per escape, pair-major). Per-pair section
+// offsets come from bitmap popcounts and the n_exc counts, so decode is a
+// cheap serial prefix pass followed by a parallel per-pair sweep.
+int df_wire_unpack_v3(const uint8_t* buf, int m, int c, int h, int w,
+                      int exc_cap, uint8_t* flags_out, uint8_t* q_out,
+                      int n_threads) {
+    (void)exc_cap;  // overflowed pairs carry flag 0 and no entries
+    const int rows = c * h;
+    const int n = w - 1;
+    const int gw = n > 0 ? (n + 3) / 4 : 0;
+    const int ng = rows * gw;
+    const int bw = (ng + 7) / 8;
+    const size_t off_flags = 0;
+    const size_t off_exc_lo = off_flags + (size_t)m;
+    const size_t off_exc_hi = off_exc_lo + (size_t)m;
+    const size_t off_seeds = off_exc_hi + (size_t)m;
+    const size_t off_bitmap = off_seeds + (size_t)m * rows;
+    const size_t off_codes = off_bitmap + (size_t)m * bw;
+
+    memcpy(flags_out, buf + off_flags, m);
+    if (n <= 0) {
+        for (int p = 0; p < m; ++p)
+            for (int r = 0; r < rows; ++r)
+                q_out[(size_t)p * rows + r] = buf[off_seeds + (size_t)p * rows + r];
+        return 0;
+    }
+
+    // per-pair prefix offsets into the variable sections
+    std::vector<size_t> code_off(m + 1), exc_off(m + 1);
+    code_off[0] = 0;
+    exc_off[0] = 0;
+    for (int p = 0; p < m; ++p) {
+        size_t pc = 0;
+        const uint8_t* bm = buf + off_bitmap + (size_t)p * bw;
+        for (int i = 0; i < bw; ++i) pc += __builtin_popcount(bm[i]);
+        code_off[p + 1] = code_off[p] + pc;
+        uint32_t ne = (uint32_t)buf[off_exc_lo + p] |
+                      ((uint32_t)buf[off_exc_hi + p] << 8);
+        exc_off[p + 1] = exc_off[p] + ne;
+    }
+    const size_t off_exc = off_codes + code_off[m];
+
+    parallel_pairs(m, n_threads, [&](int p) {
+        if (!buf[off_flags + p]) return;  // exception overflow: raw fallback
+        const uint8_t* seeds = buf + off_seeds + (size_t)p * rows;
+        const uint8_t* bm = buf + off_bitmap + (size_t)p * bw;
+        const uint8_t* codes = buf + off_codes + code_off[p];
+        const uint8_t* exc = buf + off_exc + 4 * exc_off[p];
+        const size_t n_exc = exc_off[p + 1] - exc_off[p];
+        uint8_t* out = q_out + (size_t)p * rows * w;
+
+        size_t e = 0;  // escapes are emitted in ascending flat-index order
+        uint32_t next_exc = n_exc > 0 ? (uint32_t)exc[0] |
+                                            ((uint32_t)exc[1] << 8) |
+                                            ((uint32_t)exc[2] << 16)
+                                      : kPadIdx;
+        size_t ci = 0;  // cursor into this pair's occupied-group bytes
+        for (int r = 0; r < rows; ++r) {
+            uint8_t acc = seeds[r];
+            uint8_t* orow = out + (size_t)r * w;
+            orow[0] = acc;
+            const uint32_t flat_base = (uint32_t)r * n;
+            const int gbase = r * gw;
+            for (int g = 0; g < gw; ++g) {
+                const int gi = gbase + g;
+                uint8_t byte = 0;
+                if (bm[gi >> 3] & (1u << (gi & 7))) byte = codes[ci++];
+                const int i0 = 4 * g;
+                const int kmax = n - i0 < 4 ? n - i0 : 4;
+                for (int k = 0; k < kmax; ++k) {
+                    const int i = i0 + k;
+                    acc = (uint8_t)(acc + kDelta[(byte >> (2 * k)) & 3]);
+                    if (flat_base + (uint32_t)i == next_exc) {
+                        acc = (uint8_t)(acc + exc[4 * e + 3]);
+                        ++e;
+                        next_exc = e < n_exc
+                                       ? (uint32_t)exc[4 * e] |
+                                             ((uint32_t)exc[4 * e + 1] << 8) |
+                                             ((uint32_t)exc[4 * e + 2] << 16)
+                                       : kPadIdx;
+                    }
+                    orow[i + 1] = acc;
+                }
+            }
+        }
+    });
+    return 0;
+}
+
 }  // extern "C"

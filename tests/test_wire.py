@@ -14,7 +14,10 @@ from denseflow_tpu.wire import (
     buffer_size,
     codes_width,
     pack_chunk,
+    pack_chunk_v3,
     unpack_chunk,
+    unpack_chunk_v3,
+    v3_max_size,
 )
 
 
@@ -111,6 +114,96 @@ class TestRoundTrip:
         buf = _pack(q, 64)
         f_np, q_np = unpack_chunk(buf, 6, 2, 48, 131, 64)
         f_nat, q_nat = native.wire_unpack(buf, 6, 2, 48, 131, 64)
+        assert (f_np == f_nat).all()
+        for p in range(6):
+            if f_np[p]:
+                assert (q_np[p] == q[p]).all()
+                assert (q_nat[p] == q[p]).all()
+
+
+def roundtrip_v3(q, exc_cap=EXC_CAP, expect_ok=True):
+    import jax
+
+    m, c, h, w = q.shape
+    buf, used = jax.jit(lambda x: pack_chunk_v3(x, exc_cap))(q)
+    used = int(used)
+    assert used <= v3_max_size(m, c, h, w, exc_cap)
+    flags, out = unpack_chunk_v3(np.asarray(buf)[:used], m, c, h, w, exc_cap)
+    if expect_ok:
+        assert flags.all(), "expected packable"
+        assert (out == q).all()
+    return flags, out, used
+
+
+class TestRoundTripV3:
+    """v3 (sparse-group) codec: same lossless contract as v2, plus the
+    used-prefix length accounting the executor's bucketed transfer needs."""
+
+    def test_smooth_round_trips_and_shrinks(self, rng):
+        q = np.cumsum(
+            rng.choice([0] * 8 + [1, 255], (4, 2, 33, 341)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        )
+        _, _, used = roundtrip_v3(q)
+        # ~20% nonzero deltas must pack well below v2's flat 2 bits/px
+        assert used < buffer_size(4, 2, 33, 341) // 2
+
+    def test_sparse_violations_corrected(self, rng):
+        q = np.cumsum(
+            rng.choice([0, 0, 1, 255], (2, 2, 16, 101)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        )
+        q[0, 0, 3, 40:] += np.uint8(100)
+        q[0, 0, 3, 70:] += np.uint8(201)
+        q[1, 1, 15, 100] += np.uint8(50)
+        q[0, 1, 0, 1] += np.uint8(77)
+        roundtrip_v3(q)
+
+    def test_per_pair_flags(self, rng):
+        smooth = np.zeros((1, 2, 16, 64), np.uint8) + 7
+        noisy = rng.integers(0, 256, (1, 2, 16, 64), dtype=np.uint8)
+        q = np.concatenate([smooth, noisy])
+        flags, out, _ = roundtrip_v3(q, exc_cap=16, expect_ok=False)
+        assert list(flags) == [True, False]
+        assert (out[0] == q[0]).all()
+
+    @pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 8, 127, 340, 341])
+    def test_widths(self, rng, w):
+        q = np.cumsum(
+            rng.choice([0, 1, 255], (2, 3, w)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        ).reshape(2, 1, 3, w)
+        roundtrip_v3(q)
+
+    def test_mod256_wraparound_deltas(self):
+        q = (np.arange(250, 262, dtype=np.int32) % 256).astype(np.uint8)
+        roundtrip_v3(q.reshape(1, 1, 1, 12))
+
+    def test_full_random_exact_with_big_cap(self, rng):
+        q = rng.integers(0, 256, (2, 1, 8, 33), dtype=np.uint8)
+        roundtrip_v3(q, exc_cap=8 * 32)
+
+    def test_native_matches_numpy(self, rng):
+        from denseflow_tpu import native
+
+        if not (native.available() and native.has_wire_v3()):
+            pytest.skip("native wire v3 decoder not built")
+        import jax
+
+        q = np.cumsum(
+            rng.choice([0, 0, 1, 255], (6, 2, 48, 131)).astype(np.uint8),
+            axis=-1,
+            dtype=np.uint8,
+        )
+        q[1, 0, 7, 90:] += np.uint8(123)
+        q[4] = rng.integers(0, 256, (2, 48, 131))  # overflow pair
+        buf, used = jax.jit(lambda x: pack_chunk_v3(x, 64))(q)
+        buf = np.asarray(buf)[: int(used)]
+        f_np, q_np = unpack_chunk_v3(buf, 6, 2, 48, 131, 64)
+        f_nat, q_nat = native.wire_unpack_v3(buf, 6, 2, 48, 131, 64)
         assert (f_np == f_nat).all()
         for p in range(6):
             if f_np[p]:
