@@ -168,18 +168,21 @@ def expand_jobs(cfg) -> Tuple[List[Job], bool]:
     if input_path.suffix == ".txt":
         with open(input_path) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
-        kept = 0
-        for line in lines:
+        for i, line in enumerate(lines):
+            # shard on the ORIGINAL list index, BEFORE the resume filter:
+            # the partition must be a pure function of the list so that
+            # shards racing each other's fresh `.done` markers (or a shard
+            # restarted mid-fleet) still agree on who owns which video —
+            # filter-dependent sharding can orphan a video or assign it to
+            # two hosts at once. Same static-split semantics as the
+            # reference's split-the-list workflow (reference README.md:11).
+            if i % cfg.num_hosts != cfg.host_id:
+                continue
             outdir, donedir, donefile = done_paths(cfg.output_dir, line, cfg.has_class)
             if not cfg.force and os.path.isfile(donefile):
                 if cfg.verbose:
                     print(f"skip {Path(line).parent.name}/{Path(line).stem}")
                 continue
-            # shard *after* the resume filter so rerun rebalances remaining work
-            if kept % cfg.num_hosts != cfg.host_id:
-                kept += 1
-                continue
-            kept += 1
             os.makedirs(outdir, exist_ok=True)
             os.makedirs(donedir, exist_ok=True)
             jobs.append(Job(line, outdir))

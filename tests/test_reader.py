@@ -164,6 +164,25 @@ class TestExpandJobs:
         jobs, _ = expand_jobs(cfg)
         assert len(jobs) == 2
 
+    def test_sharding_stable_under_other_shards_done_markers(self, tmp_path):
+        # regression: sharding must partition on the ORIGINAL list index.
+        # When host 0 finishes first and its .done markers land before
+        # host 1 expands (sequential shards, or a restarted host mid-
+        # fleet), a post-filter partition re-numbers the survivors and
+        # orphans videos (no running host owns them). Host 1 must still
+        # see exactly its own videos.
+        lst = self._mklist(tmp_path, [f"v{i}.avi" for i in range(4)])
+        out = tmp_path / "out"
+        (out / ".done").mkdir(parents=True)
+        (out / ".done" / "v0").touch()  # host 0's shard completed
+        (out / ".done" / "v2").touch()
+        cfg = FlowConfig(
+            input=lst, output_dir=str(out), host_id=1, num_hosts=2
+        )
+        jobs, _ = expand_jobs(cfg)
+        names = [os.path.basename(j.video_path) for j in jobs]
+        assert names == ["v1.avi", "v3.avi"]
+
     def test_host_sharding_partitions(self, tmp_path):
         lst = self._mklist(tmp_path, [f"v{i}.avi" for i in range(7)])
         out = tmp_path / "out"
