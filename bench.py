@@ -59,28 +59,28 @@ def _make_video(path: str) -> None:
     vw.release()
 
 
-def bench_device_only(pair_batch: int = 16) -> dict:
+def bench_device_only(pair_batch: int = 16, algorithm: str = "tvl1") -> dict:
     """Pure solver throughput at the bench geometry (flows/s).
 
     The flow output is reduced to one scalar ON DEVICE: this measures the
     solver kernel, deliberately excluding the device link (the end-to-end
     number charges the link; reporting both separates chip speed from wire
-    speed)."""
+    speed). `algorithm` covers all device solvers (reference treats all of
+    them as first-class, src/denseflow_gpu.cpp:285-304)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from denseflow_tpu.algorithms.tvl1 import TVL1Params, tvl1_flow
+    from denseflow_tpu.algorithms import make_solver
+    from denseflow_tpu.algorithms.tvl1 import TVL1Params
 
     h, w = 256, 341  # 480x360 at short-side 256
     params = TVL1Params()
+    solver = make_solver(algorithm, h, w, None, 0)
 
     @jax.jit
     def solve_checksum(I0_u8, I1_u8):
-        flow = tvl1_flow(
-            I0_u8.astype(jnp.float32), I1_u8.astype(jnp.float32), params
-        )
-        return jnp.sum(jnp.abs(flow))
+        return jnp.sum(jnp.abs(solver(I0_u8, I1_u8)))
 
     rng = np.random.default_rng(1)
     import scipy.ndimage as ndi
@@ -104,6 +104,8 @@ def bench_device_only(pair_batch: int = 16) -> dict:
         np.asarray(out)
         dt = time.perf_counter() - t0
         best = max(best, n_rep * pair_batch / dt)
+    if algorithm != "tvl1":
+        return {"flows_per_s": best}
     # nominal solver work per pair, counting the full iteration budget of
     # every pyramid scale (the epsilon early-exit means ACHIEVED flops are
     # lower; this is the workload-defined upper bound, ~40 VPU
@@ -166,6 +168,13 @@ def main_bench() -> None:
     enable_compile_cache()
     pair_batch = int(os.environ.get("BENCH_PAIR_BATCH", "16"))
     device = bench_device_only(pair_batch)
+    # per-algorithm device throughput (all four algorithms are first-class
+    # in the reference, src/denseflow_gpu.cpp:285-304; nv maps to the fast
+    # TVL1 preset and is covered by the tvl1 number)
+    per_algo = {
+        alg: round(bench_device_only(pair_batch, alg)["flows_per_s"], 2)
+        for alg in ("farn", "brox")
+    }
     pipe = bench_pipeline(pair_batch)
     value = pipe["flows_per_s"]
     result = {
@@ -179,6 +188,8 @@ def main_bench() -> None:
                 device["nominal_tflops_per_s"], 3
             ),
             "device_duty_cycle": round(value / device["flows_per_s"], 3),
+            "farn_device_flows_per_s": per_algo["farn"],
+            "brox_device_flows_per_s": per_algo["brox"],
             "pair_batch": pair_batch,
             "pipeline_seconds": round(pipe["seconds"], 2),
             "baseline_assumption": f"reference CUDA TVL1 ~{REFERENCE_TVL1_FLOWS_PER_S} flows/s (estimate, none published)",

@@ -57,6 +57,8 @@ Usage: denseflow [params] input
 TPU extensions:
     --pairBatch (value:16)     frame pairs solved per device invocation
     --chunkFrames (value:512)  max frames decoded per chunk
+    --decodeWorkers (value:0)  decode threads for multi-video jobs
+                               (0 = auto, 1 = serial like the reference)
     --strict                   abort the whole run on the first bad video
     --hostId / --numHosts      shard a videolist across hosts (manual)
     --distributed              init jax.distributed on a pod slice: host id /
@@ -104,6 +106,7 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "verbose": ("verbose", bool),
     "pairBatch": ("pair_batch", int),
     "chunkFrames": ("chunk_frames", int),
+    "decodeWorkers": ("decode_workers", int),
     "strict": ("strict", bool),
     "hostId": ("host_id", int),
     "numHosts": ("num_hosts", int),

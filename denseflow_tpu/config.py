@@ -51,6 +51,13 @@ class FlowConfig:
     # Measured on v5e at 256p (500-frame video): 512 -> 158 flows/s,
     # 96 -> 175, 128 -> 191 flows/s.
     chunk_frames: int = 128
+    # Decode worker threads for multi-video jobs (stage 1). The reference
+    # decodes on one thread (reference src/denseflow_gpu.cpp:219); on TPU
+    # hosts with fast device links the single cv2/FFmpeg decode loop is
+    # the pipeline bound, so videos are decoded concurrently (each video
+    # stays on one worker — chunk order within a video is load-bearing).
+    # 0 = auto (min(4, cpu/4)), 1 = the reference's serial behavior.
+    decode_workers: int = 0
     # Continue past a broken video instead of aborting the whole list job
     # (the reference aborts: single try/catch in main,
     # reference tools/denseflow.cpp:93-96). `strict=True` restores that.

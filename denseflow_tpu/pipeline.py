@@ -90,77 +90,118 @@ class Pipeline:
             self._native = None
 
     # ---------------- stage 1: decode ----------------
+    def _decode_pool_size(self) -> int:
+        import os
+
+        n = self.cfg.decode_workers
+        if n <= 0:
+            n = min(4, max(1, (os.cpu_count() or 4) // 4))
+        return min(n, len(self.jobs)) or 1
+
     def _load_frames(self) -> None:
-        cfg = self.cfg
+        """Stage 1: decode videos into halo-padded chunks.
+
+        Multi-video jobs decode on a worker pool (cfg.decode_workers):
+        each worker claims WHOLE videos, so a video's chunks keep their
+        order while different videos' chunks interleave in the frames
+        queue — stage 2/3 route purely on the chunk's output_dir and
+        last_buffer, so cross-video interleaving is safe. The reference
+        decodes everything on one thread (src/denseflow_gpu.cpp:219)."""
+        n_workers = self._decode_pool_size()
         try:
-            for job in self.jobs:
-                if self._abort.is_set():
-                    break
-                try:
-                    if cfg.save_type == "h5":
-                        if not HAVE_H5:
-                            raise RuntimeError("HDF5 support is not available")
-                        create_h5_file(job.output_dir, cfg.step)
-                    src = open_source(job.video_path, cfg)
-                except EmptyFolderError as e:
-                    self.log(str(e))
-                    continue
-                except Exception as e:
-                    self._video_error(job, e)
-                    continue
-                w, h = src.size
-                self.log(f"{job.video_path}, frames ≈ {src.approx_frames}")
-                n_frames = 0
-                try:
-                    gen = src.chunks(cfg.step)
-                    while True:
-                        with self.timers.track("decode"):
-                            chunk = next(gen, None)
-                        if chunk is None:
-                            break
-                        n_frames += len(chunk.frames) - chunk.halo
-                        # start the async H2D upload here so the wire
-                        # transfer overlaps the previous chunk's solve
-                        frames = chunk.frames
-                        try:
-                            ex = get_executor(
-                                cfg.algorithm, h, w, cfg.step, cfg.bound,
-                                cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
-                                cfg.preset, cfg.devices, cfg.wire_pack,
-                                cfg.max_disp,
-                            )
-                            frames = ex.upload_chunk(frames)
-                        except Exception as e:
-                            # compute stage falls back to uploading; a real
-                            # device fault will resurface there as a video
-                            # error — but don't hide it from -v
-                            self.log(f"async upload failed, deferring: {e!r}")
-                        item = _ChunkItem(
-                            frames=frames,
-                            n_frames=len(chunk.frames),
-                            output_dir=job.output_dir,
-                            base_start=chunk.base_start,
-                            last_buffer=chunk.last,
-                            height=h,
-                            width=w,
-                        )
-                        self._frames_q.put(item)
-                        self.log(
-                            f"push frames gray, video_flow_idx {chunk.base_start},"
-                            f" batch_size {len(chunk.frames) - chunk.halo}"
-                        )
-                        if self._abort.is_set():
-                            break
-                except Exception as e:
-                    self._video_error(job, e)
-                finally:
-                    src.close()
-                self.counters.add_frames(n_frames)
-                self.counters.add_videos()
-                self.log(f"loaded video {job.video_path}, {n_frames} frames")
+            if n_workers <= 1:
+                for job in self.jobs:
+                    if self._abort.is_set():
+                        break
+                    self._load_one_video(job)
+            else:
+                it = iter(self.jobs)
+                lock = threading.Lock()
+
+                def worker() -> None:
+                    while not self._abort.is_set():
+                        with lock:
+                            job = next(it, None)
+                        if job is None:
+                            return
+                        self._load_one_video(job)
+
+                pool = [
+                    threading.Thread(target=worker, name=f"decode_{i}")
+                    for i in range(n_workers)
+                ]
+                for t in pool:
+                    t.start()
+                for t in pool:
+                    t.join()
         finally:
             self._frames_q.put(None)
             self.log("load frames exit.")
+
+    def _load_one_video(self, job: Job) -> None:
+        cfg = self.cfg
+        try:
+            if cfg.save_type == "h5":
+                if not HAVE_H5:
+                    raise RuntimeError("HDF5 support is not available")
+                create_h5_file(job.output_dir, cfg.step)
+            src = open_source(job.video_path, cfg)
+        except EmptyFolderError as e:
+            self.log(str(e))
+            return
+        except Exception as e:
+            self._video_error(job, e)
+            return
+        w, h = src.size
+        self.log(f"{job.video_path}, frames ≈ {src.approx_frames}")
+        n_frames = 0
+        try:
+            gen = src.chunks(cfg.step)
+            while True:
+                with self.timers.track("decode"):
+                    chunk = next(gen, None)
+                if chunk is None:
+                    break
+                n_frames += len(chunk.frames) - chunk.halo
+                # start the async H2D upload here so the wire
+                # transfer overlaps the previous chunk's solve
+                frames = chunk.frames
+                try:
+                    ex = get_executor(
+                        cfg.algorithm, h, w, cfg.step, cfg.bound,
+                        cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
+                        cfg.preset, cfg.devices, cfg.wire_pack,
+                        cfg.max_disp,
+                    )
+                    frames = ex.upload_chunk(frames)
+                except Exception as e:
+                    # compute stage falls back to uploading; a real
+                    # device fault will resurface there as a video
+                    # error — but don't hide it from -v
+                    self.log(f"async upload failed, deferring: {e!r}")
+                item = _ChunkItem(
+                    frames=frames,
+                    n_frames=len(chunk.frames),
+                    output_dir=job.output_dir,
+                    base_start=chunk.base_start,
+                    last_buffer=chunk.last,
+                    height=h,
+                    width=w,
+                )
+                self._frames_q.put(item)
+                self.log(
+                    f"push frames gray, video_flow_idx {chunk.base_start},"
+                    f" batch_size {len(chunk.frames) - chunk.halo}"
+                )
+                if self._abort.is_set():
+                    break
+        except Exception as e:
+            self._video_error(job, e)
+        finally:
+            src.close()
+        self.counters.add_frames(n_frames)
+        self.counters.add_videos()
+        self.log(f"loaded video {job.video_path}, {n_frames} frames")
 
     # ---------------- stage 2: device compute ----------------
     # Chunks dispatched to the device but not yet collected. 2 keeps the

@@ -205,6 +205,40 @@ class TestListModeAndResume:
         assert (out / ".done" / "Jump" / "a").is_file()
 
 
+class TestDecodePool:
+    def test_pooled_decode_byte_identical_to_serial(self, tmp_path):
+        # 5 videos of different sizes/content: pooled stage-1 decode
+        # interleaves their chunks in the frames queue; every emitted
+        # file must match the serial (reference-shaped) pipeline exactly
+        vids = []
+        for i in range(5):
+            p, _ = make_translating_video(
+                tmp_path / f"v{i}.avi", h=40 + 8 * (i % 2), w=56, n=6 + i,
+                dx=1, seed=10 + i,
+            )
+            vids.append(p)
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(vids) + "\n")
+
+        def run(out, workers):
+            rc = main(
+                [str(lst), f"-o={out}", "-a=nv", "-s=1", "-b=8",
+                 "--pairBatch=4", "--chunkFrames=4",
+                 f"--decodeWorkers={workers}", "-f"]
+            )
+            assert rc == 0
+            return {
+                p.relative_to(out).as_posix(): p.read_bytes()
+                for p in Path(out).rglob("*") if p.is_file()
+            }
+
+        serial = run(tmp_path / "o1", 1)
+        pooled = run(tmp_path / "o3", 3)
+        assert set(serial) == set(pooled)
+        for k in serial:
+            assert serial[k] == pooled[k], f"mismatch in {k}"
+
+
 class TestCrashRestart:
     """SURVEY.md §4 fault-injection strategy: hard-kill a list job mid-run
     (a real SIGKILL-style os._exit inside the writer stage), rerun, and the
