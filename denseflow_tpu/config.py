@@ -42,7 +42,11 @@ class FlowConfig:
     # --- extensions over the reference (all optional, defaults match it) ---
     # Frame pairs solved per device invocation. The reference solves pairs
     # one at a time (reference src/denseflow_gpu.cpp:313-341); batching them
-    # is the main TPU win.
+    # is the main TPU win. Device-only flows/s on v5e at 256p rises with
+    # batch (16 -> 767, 32 -> 892, 64 -> 961, 128 -> 992; BASELINE.md
+    # Scaling) — the default stays 16 because pair-count buckets are
+    # pair_batch-granular and short videos would pay up to a bucket of
+    # padded compute; raise it for long-video workloads on fast links.
     pair_batch: int = 16
     # Max frames decoded per chunk. The reference uses 512
     # (reference include/dense_flow.h:95); we default much smaller so the

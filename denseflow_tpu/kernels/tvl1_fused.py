@@ -61,6 +61,9 @@ def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
 
 
 _PLANES = 20  # live f32 planes in the kernel (conservative estimate)
+# longest pallas grid per call: longer grids deepen Mosaic's pipelining
+# and can push near-limit plane sizes out of VMEM (see tvl1_scale_fused)
+_MAX_GRID_BATCH = 32
 # planner budget: ~2 MB below the 16 MB/core VMEM so a modest error in the
 # _PLANES estimate cannot push a planned tile past Mosaic's allocator
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -356,6 +359,38 @@ def tvl1_scale_fused(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run all warps x iterations of one pyramid scale. Arrays (B, H, W)."""
     b, h, w = u1.shape
+    # Long grids OOM scoped VMEM at near-limit plane sizes (observed:
+    # b=64 at 256x384 needs 16.6M vs the 16M limit, b<=32 fits) — and
+    # unrolled sub-calls fail the same way because XLA co-schedules the
+    # independent custom-calls and SUMS their scoped allocations. lax.map
+    # serializes by construction, so each sub-slab's pallas_call owns the
+    # scoped region alone. The kernel is per-pair: byte-identical.
+    if b > _MAX_GRID_BATCH:
+        k = _MAX_GRID_BATCH
+        pad = (-b) % k
+        args = (I0, I1, I1x, I1y, u1, u2)
+        if pad:
+            args = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)])
+                for a in args
+            )
+        stacked = tuple(
+            a.reshape(-1, k, a.shape[-2], a.shape[-1]) for a in args
+        )
+
+        def one_slab(xs):
+            return tvl1_scale_fused(
+                *xs,
+                l_t=l_t, theta=theta, taut=taut, epsilon=epsilon,
+                iterations=iterations, warps=warps, max_disp=max_disp,
+                check_every=check_every, interpret=interpret,
+            )
+
+        u1o, u2o = jax.lax.map(one_slab, stacked)
+        return (
+            u1o.reshape(-1, h, w)[:b],
+            u2o.reshape(-1, h, w)[:b],
+        )
     # Mosaic dynamic rolls need (8, 128)-aligned plane shapes; pad and
     # crop here — the kernel masks so real-region math is unchanged.
     hp = ((h + 7) // 8) * 8

@@ -34,7 +34,7 @@ ROOT = Path(__file__).resolve().parent.parent
 WORK = Path("/tmp/denseflow_tpu_scaling")
 
 
-def bench_chip_batches(batches=(4, 8, 16, 32, 64)) -> dict:
+def bench_chip_batches(batches=(4, 8, 16, 32, 64, 128)) -> dict:
     from bench import bench_device_only
 
     out = {}
