@@ -108,8 +108,15 @@ class DeviceExecutor:
         # channels of the quantized payload crossing the wire
         self.n_chan = {"jpg": 2, "png": 3}.get(save_type, 0)
         # the wire codec only applies to uint8 payloads (jpg/png); h5 is
-        # raw float32 by contract (reference src/common.cpp:120-150)
-        self.wire_pack = bool(wire_pack) and save_type in ("jpg", "png")
+        # raw float32 by contract (reference src/common.cpp:120-150).
+        # Both codec versions address exceptions with a 3-byte per-pair
+        # flat index, so payloads with >= 2^24 delta positions (e.g. 4K
+        # png: 3*2160*3839) fall back to raw transfer.
+        self.wire_pack = (
+            bool(wire_pack)
+            and save_type in ("jpg", "png")
+            and self.n_chan * height * max(width - 1, 0) < (1 << 24)
+        )
         devs = jax.local_devices()
         if n_devices > 0:
             devs = devs[:n_devices]
