@@ -94,10 +94,12 @@ def bench_device_only(pair_batch: int = 16, algorithm: str = "tvl1") -> dict:
     # unreliable through the remote-device tunnel)
     np.asarray(solve_checksum(I0, I1))
     # best-of-3: the remote-device tunnel adds multi-second noise spikes,
-    # so a single timing can under-report by 2x
+    # so a single timing can under-report by 2x. Non-headline algorithms
+    # (farn/brox extras) use a cheaper best-of-2 x 2 so a slow Brox solve
+    # does not dominate the bench's wall clock.
+    trials, n_rep = (3, 5) if algorithm == "tvl1" else (2, 2)
     best = 0.0
-    for _ in range(3):
-        n_rep = 5
+    for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(n_rep):
             out = solve_checksum(I0, I1)
@@ -171,10 +173,14 @@ def main_bench() -> None:
     # per-algorithm device throughput (all four algorithms are first-class
     # in the reference, src/denseflow_gpu.cpp:285-304; nv maps to the fast
     # TVL1 preset and is covered by the tvl1 number)
-    per_algo = {
-        alg: round(bench_device_only(pair_batch, alg)["flows_per_s"], 2)
-        for alg in ("farn", "brox")
-    }
+    per_algo = {}
+    for alg in ("farn", "brox"):
+        try:
+            per_algo[alg] = round(
+                bench_device_only(pair_batch, alg)["flows_per_s"], 2
+            )
+        except Exception:
+            per_algo[alg] = None  # extras must not sink the headline run
     pipe = bench_pipeline(pair_batch)
     value = pipe["flows_per_s"]
     result = {
