@@ -74,10 +74,11 @@ class FlowConfig:
     # (setDevice(0), reference src/denseflow_gpu.cpp:482).
     devices: int = 0
     # Lossless wire codec for device->host payloads (wire.py): quantized
-    # jpg/png payloads cross the device link as row-delta 4-bit nibbles
-    # (half the bytes) when they pack, raw uint8 otherwise. Matters when
-    # the chip is remote (tunnel / split deployments) where the link, not
-    # the solver, bounds throughput. Output bytes are identical either way.
+    # jpg/png payloads cross the device link as a sparse-group delta
+    # stream (~0.6-1 bit/px measured; only the used prefix transfers),
+    # raw uint8 otherwise. Matters when the chip is remote (tunnel /
+    # split deployments) where the link, not the solver, bounds
+    # throughput. Output bytes are identical either way.
     wire_pack: bool = True
     # Capture a jax.profiler trace of the run into this directory
     # (view with TensorBoard / xprof). The reference's only profiling aid
