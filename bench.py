@@ -147,9 +147,12 @@ def bench_pipeline(pair_batch: int = 16) -> dict:
     if rc != 0:
         raise RuntimeError("warmup pipeline run failed")
 
-    # best-of-3 (tunnel noise, see bench_device_only)
+    # best-of-5: the tunnel's multi-second stall spikes hit individual
+    # runs at random (measured: identical code, 2.6s to 25s walls within
+    # one hour); the best of 5 approximates the steady-state capability
+    # the metric is defined to track (see bench_device_only)
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         shutil.rmtree(outdir, ignore_errors=True)
         t0 = time.perf_counter()
         rc = main(
