@@ -240,6 +240,41 @@ class TestExecutorIntegration:
             assert x.shape == y.shape
             assert (x == y).all()
 
+    def test_tail_fetch_on_underprediction(self, monkeypatch):
+        # the executor starts the D2H of a PREDICTED prefix at dispatch;
+        # when the real used length exceeds it, collect must fetch the
+        # tail and still decode exactly. Force a hopeless prediction.
+        from denseflow_tpu.executor import DeviceExecutor
+        import scipy.ndimage as ndi
+
+        rng = np.random.default_rng(9)
+        n, h, w = 9, 48, 64
+        base = ndi.gaussian_filter(
+            rng.uniform(0, 255, (n, h + 8, w + 8)), (0, 2, 2)
+        )
+        frames = np.clip(base[:, 4 : 4 + h, 4 : 4 + w], 0, 255).astype(np.uint8)
+
+        import denseflow_tpu.executor as exmod
+
+        def run(sabotage):
+            ex = DeviceExecutor(
+                algorithm="nv", height=h, width=w, step=1, bound=20,
+                save_type="jpg", pair_batch=4, chunk_capacity=16,
+                preset="fast", n_devices=1, wire_pack=True,
+            )
+            if sabotage:
+                # a 256-byte prediction at 64-byte quantum is far below
+                # any real used length -> the tail branch must fire
+                monkeypatch.setattr(exmod, "_PREFIX_QUANTUM", 64)
+                monkeypatch.setattr(
+                    ex, "_predict_used", lambda mb: 256, raising=False
+                )
+            return ex.run_chunk(frames, n)
+
+        good_x, good_y = run(False)
+        tail_x, tail_y = run(True)
+        assert (good_x == tail_x).all() and (good_y == tail_y).all()
+
     def test_bucket_padding_sliced_off(self):
         # 14 frames, step 1 -> 13 pairs, bucketed up to 16 with repeated
         # last-frame padding: padded pairs must be sliced off, and each
