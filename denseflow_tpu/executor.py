@@ -426,7 +426,18 @@ class DeviceExecutor:
         return np.concatenate(outs, axis=0)
 
 
-@lru_cache(maxsize=16)
+# Serializes executor CONSTRUCTION: lru_cache does not lock the factory,
+# and concurrent decode workers hitting a cold key would otherwise build
+# duplicate DeviceExecutors (duplicate jit programs). Coarse single lock:
+# construction is rare (once per geometry) and cheap relative to compile.
+_executor_lock = __import__("threading").Lock()
+
+
+@lru_cache(maxsize=64)
+def _get_executor_locked(*key) -> DeviceExecutor:
+    return DeviceExecutor(*key)
+
+
 def get_executor(
     algorithm: str,
     height: int,
@@ -441,7 +452,9 @@ def get_executor(
     wire_pack: bool = True,
     max_disp: int = 0,
 ) -> DeviceExecutor:
-    return DeviceExecutor(
+    key = (
         algorithm, height, width, step, bound, save_type, pair_batch,
         chunk_capacity, preset, n_devices, wire_pack, max_disp,
     )
+    with _executor_lock:
+        return _get_executor_locked(*key)

@@ -1,0 +1,154 @@
+"""Shared in-VMEM primitives for the fused Pallas flow kernels.
+
+Everything here operates on a single (hp, wp) float32 plane held in VMEM —
+padded up from a real (h, w) image so Mosaic's `tpu.dynamic_rotate` sees
+(8, 128)-aligned vector shapes — and is built by a factory closing over the
+geometry. Two primitives cover all the solvers' memory-access patterns:
+
+* `make_resample`: per-pixel-displacement 1-D resampling (the warp) as a
+  sweep of whole-plane dynamic rolls over the displacement range actually
+  present, replicate-clamped at the REAL image border (the padded band is
+  masked off). Shared by TVL1 (cubic), Brox (cubic) and Farneback (linear).
+* `make_shift` / `make_conv_taps`: static-offset neighbor views and tap
+  stencils with replicate borders at the real extent — the 4-neighbor
+  Laplacians, derivative stencils and small separable filters.
+
+The interpolation/stencil math matches ops/warp.py and ops/filters.py
+(the XLA oracle path) so fused and unfused solvers agree within float
+reassociation error; see tests/test_tiling.py and tests/test_brox_fused.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+_SUPPORT_CUBIC = 2
+_SUPPORT_LINEAR = 1
+
+
+def cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Cubic-convolution kernel, a=-0.75 (OpenCV INTER_CUBIC), support (-2,2)."""
+    a = -0.75
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * (ax3 - 5.0 * ax2 + 8.0 * ax - 4.0)
+    return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+
+
+def linear_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Triangle kernel, support (-1, 1) — bilinear interpolation."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
+    """Build the plane-op toolkit for real extent (h, w) padded to (hp, wp).
+
+    Returns an object with:
+      .row_i() / .col_i()       int32 index planes
+      .real()                   bool plane: inside the real image
+      .shift(p, k, axis)        static shift, replicate-clamped at (h, w)
+      .conv_taps(p, taps, axis) tap stencil sum_k c_k * shift(p, k)
+      .resample(planes, disp, axis, max_disp, kernel) warp sweep
+    """
+    roll = jnp.roll if interpret else pltpu.roll
+    shape = (hp, wp)
+
+    def row_i():
+        return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+    def col_i():
+        return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    def real():
+        # built lazily INSIDE the kernel body (a concrete array here would
+        # be a captured constant, which pallas_call rejects)
+        return jnp.logical_and(row_i() < h, col_i() < w)
+
+    def _edges(p, axis):
+        if axis == 0:
+            lo = jnp.broadcast_to(p[:1, :], shape)
+            hi = jnp.broadcast_to(p[h - 1 : h, :], shape)
+        else:
+            lo = jnp.broadcast_to(p[:, :1], shape)
+            hi = jnp.broadcast_to(p[:, w - 1 : w], shape)
+        return lo, hi
+
+    def shift(p, k: int, axis: int):
+        """shift(p, k)[y] = p[clamp(y+k, 0, n-1)] with n the REAL extent."""
+        if k == 0:
+            return p
+        n = h if axis == 0 else w
+        lo, hi = _edges(p, axis)
+        t = (row_i() if axis == 0 else col_i()) + k
+        # pltpu.roll rejects static negative shifts; roll is circular over
+        # the PADDED extent, so normalize mod the padded size
+        np_ax = hp if axis == 0 else wp
+        s = roll(p, (-k) % np_ax, axis)
+        return jnp.where(t < 0, lo, jnp.where(t > n - 1, hi, s))
+
+    def conv_taps(p, taps: Sequence[float], axis: int, center: int):
+        """sum_k taps[k] * shift(p, k - center), skipping zero taps."""
+        out = None
+        for i, c in enumerate(taps):
+            if c == 0.0:
+                continue
+            term = jnp.float32(c) * shift(p, i - center, axis)
+            out = term if out is None else out + term
+        return out
+
+    def resample(planes, disp, axis: int, max_disp: float, kernel: str):
+        """1-D resample of each plane in `planes` along `axis` at per-pixel
+        displacement `disp` (shared coefficient sweep), clamped to
+        ±max_disp and into the real extent (replicate borders) — matches
+        ops/warp._resample_axis. Returns a tuple like `planes`."""
+        kfn = cubic_kernel if kernel == "cubic" else linear_kernel
+        support = _SUPPORT_CUBIC if kernel == "cubic" else _SUPPORT_LINEAR
+        n = h if axis == 0 else w
+        coords = (row_i() if axis == 0 else col_i()).astype(jnp.float32)
+        in_real = coords < float(n)
+        d = jnp.clip(disp, -max_disp, max_disp)
+        pos = jnp.clip(coords + d, 0.0, float(n - 1))
+        # padded pixels would clamp far back into the image and blow the
+        # sweep range open — pin their displacement to 0
+        d = jnp.where(in_real, pos - coords, 0.0)
+
+        k_lo = jnp.floor(jnp.min(d)).astype(jnp.int32) - support + 1
+        k_hi = jnp.ceil(jnp.max(d)).astype(jnp.int32) + support
+
+        edges = [_edges(p, axis) for p in planes]
+
+        def body(k, outs):
+            kf = k.astype(jnp.float32)
+            c = kfn(d - kf)
+            # tap index t = coord + k; roll wraps, so patch the
+            # out-of-image bands with the replicated edge values
+            t = coords + kf
+            lo_band = t < 0.0
+            hi_band = t > float(n - 1)
+            new = []
+            for p, (e_lo, e_hi), o in zip(planes, edges, outs):
+                s = roll(p, -k, axis)
+                tapped = jnp.where(lo_band, e_lo, jnp.where(hi_band, e_hi, s))
+                new.append(o + c * tapped)
+            return tuple(new)
+
+        z = tuple(jnp.zeros(shape, jnp.float32) for _ in planes)
+        return jax.lax.fori_loop(k_lo, k_hi + 1, body, z)
+
+    class Ops:
+        pass
+
+    ops = Ops()
+    ops.row_i = row_i
+    ops.col_i = col_i
+    ops.real = real
+    ops.shift = shift
+    ops.conv_taps = conv_taps
+    ops.resample = resample
+    return ops

@@ -73,11 +73,15 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 TILE_HALO = 40 + _SUPPORT
 
 
-def fits_vmem(h: int, w: int, budget_bytes: int = _VMEM_BUDGET) -> bool:
-    """Can the fused kernel hold one pair's working set in VMEM?"""
+def fits_vmem(
+    h: int, w: int, budget_bytes: int = _VMEM_BUDGET, planes: int = _PLANES
+) -> bool:
+    """Can a fused kernel with `planes` live f32 planes hold one pair's
+    working set in VMEM? (planes defaults to the TVL1 kernel's count; the
+    Brox kernel passes its own.)"""
     w_pad = ((w + 127) // 128) * 128
     h_pad = ((h + 7) // 8) * 8
-    return _PLANES * h_pad * w_pad * 4 <= budget_bytes
+    return planes * h_pad * w_pad * 4 <= budget_bytes
 
 
 def _axis_starts(n: int, tile: int, halo: int) -> list:
@@ -94,7 +98,7 @@ def _axis_starts(n: int, tile: int, halo: int) -> list:
 
 
 def plan_tiles(h: int, w: int, halo: int = TILE_HALO,
-               budget_bytes: int = _VMEM_BUDGET):
+               budget_bytes: int = _VMEM_BUDGET, planes: int = _PLANES):
     """Choose a spatial tiling whose per-tile working set fits VMEM.
 
     Returns None when (h, w) fits untiled, else
@@ -103,14 +107,14 @@ def plan_tiles(h: int, w: int, halo: int = TILE_HALO,
     nothing), and the core boundaries used for stitching. Prefers splitting
     H only (cheap sublane alignment, no extra lane padding); minimizes total
     tile area (redundant halo compute)."""
-    if fits_vmem(h, w, budget_bytes):
+    if fits_vmem(h, w, budget_bytes, planes):
         return None
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
     best = None
     tw = wp
     while tw >= 128:
-        th_max = budget_bytes // (_PLANES * 4 * tw) // 8 * 8
+        th_max = budget_bytes // (planes * 4 * tw) // 8 * 8
         th = min(hp, th_max)
         ok_h = th >= hp or th > 2 * halo + 8
         ok_w = tw >= wp or tw > 2 * halo + 8

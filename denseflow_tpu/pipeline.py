@@ -124,7 +124,13 @@ class Pipeline:
                             job = next(it, None)
                         if job is None:
                             return
-                        self._load_one_video(job)
+                        try:
+                            self._load_one_video(job)
+                        except Exception as e:
+                            # _load_one_video guards its own body; this
+                            # backstop keeps the worker alive (and the
+                            # error recorded) even if a raise slips out
+                            self._video_error(job, e)
 
                 pool = [
                     threading.Thread(target=worker, name=f"decode_{i}")
@@ -146,13 +152,16 @@ class Pipeline:
                     raise RuntimeError("HDF5 support is not available")
                 create_h5_file(job.output_dir, cfg.step)
             src = open_source(job.video_path, cfg)
+            # inside the guard: a corrupt container can make .size raise,
+            # and an unguarded raise here would escape the decode worker
+            # (losing the video with no error record, shrinking the pool)
+            w, h = src.size
         except EmptyFolderError as e:
             self.log(str(e))
             return
         except Exception as e:
             self._video_error(job, e)
             return
-        w, h = src.size
         self.log(f"{job.video_path}, frames ≈ {src.approx_frames}")
         n_frames = 0
         try:

@@ -108,6 +108,53 @@ class TestTiledKernel:
         assert du.mean() < 0.02 and dv.mean() < 0.02
         assert du.max() < 0.25 and dv.max() < 0.25
 
+    @pytest.mark.parametrize("b", [33, 64])
+    def test_slab_path_matches_small_batch(self, b):
+        """b > _MAX_GRID_BATCH takes the lax.map slab path (pad to a
+        multiple of 32, map, crop). The kernel is per-pair, so slabbed
+        results must be BYTE-identical to solving the same pairs in
+        <=32-sized direct calls (ADVICE r3: pair_batch 64-128 is the
+        recommended config and this path had no direct test). b=33
+        exercises the non-multiple-of-32 padding."""
+        import jax.numpy as jnp
+
+        from denseflow_tpu.kernels.tvl1_fused import _MAX_GRID_BATCH
+
+        assert b > _MAX_GRID_BATCH
+        h, w = 24, 40
+        rng = np.random.default_rng(11)
+        import scipy.ndimage as ndi
+
+        base = ndi.gaussian_filter(
+            rng.uniform(0, 255, (b, h + 4, w + 4)), (0, 1.5, 1.5)
+        ).astype(np.float32)
+        I0 = jnp.asarray(base[:, :h, :w])
+        I1 = jnp.asarray(base[:, 2 : 2 + h, 1 : 1 + w])
+        from denseflow_tpu.ops.derivatives import centered_gradient
+
+        I1x, I1y = centered_gradient(I1)
+        z = jnp.zeros_like(I0)
+        kw = dict(
+            l_t=0.15 * 0.3, theta=0.3, taut=0.25 / 0.3, epsilon=0.01,
+            iterations=20, warps=2, max_disp=8.0, check_every=4,
+            interpret=True,
+        )
+        u1s, u2s = tvl1_scale_fused(I0, I1, I1x, I1y, z, z, **kw)
+        # reference: the same pairs through <=32-pair direct calls
+        parts = []
+        for s in range(0, b, _MAX_GRID_BATCH):
+            e = min(s + _MAX_GRID_BATCH, b)
+            parts.append(
+                tvl1_scale_fused(
+                    I0[s:e], I1[s:e], I1x[s:e], I1y[s:e], z[s:e], z[s:e],
+                    **kw,
+                )
+            )
+        u1r = np.concatenate([np.asarray(p[0]) for p in parts])
+        u2r = np.concatenate([np.asarray(p[1]) for p in parts])
+        np.testing.assert_array_equal(np.asarray(u1s), u1r)
+        np.testing.assert_array_equal(np.asarray(u2s), u2r)
+
     def test_tiled_matches_untiled_low_texture(self):
         """Low-texture content is the worst case for seams: the TV term
         fills flow in from far away, and its influence is NOT bounded by
