@@ -124,11 +124,57 @@ def bench_device_only(pair_batch: int = 16, algorithm: str = "tvl1") -> dict:
     }
 
 
+def bench_link() -> dict:
+    """Measure the host<->device link so the headline is attributable.
+
+    The bench chip is reached through a tunnel whose rate swings ~4x
+    within hours (PERFORMANCE.md); without a same-run rate measurement the
+    scoreboard cannot distinguish "code got slower" from "link had a bad
+    hour" (round-3 verdict item 1). Uses RANDOM payloads: incompressible,
+    so the number is the raw wire rate — the same regime as the
+    entropy-packed v3 flow payload crossing D2H."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 2 * 1024 * 1024
+
+    @jax.jit
+    def gen(seed):
+        return jax.random.randint(
+            jax.random.key(seed), (n,), 0, 256, dtype=jnp.uint8
+        )
+
+    np.asarray(gen(0))  # compile + first-transfer setup outside the timing
+    x = gen(1)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(x)
+    d2h = n / 1e6 / (time.perf_counter() - t0)
+    payload = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
+    jax.device_put(payload[: 1 << 14]).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(payload).block_until_ready()
+    h2d = n / 1e6 / (time.perf_counter() - t0)
+    one = np.zeros(8, np.uint8)
+    np.asarray(jax.device_put(one))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(jax.device_put(one))
+    rt_ms = (time.perf_counter() - t0) / 3 * 1e3
+    return {
+        "d2h_mbps_random": round(d2h, 1),
+        "h2d_mbps_random": round(h2d, 1),
+        "roundtrip_ms": round(rt_ms, 1),
+    }
+
+
 def bench_pipeline(pair_batch: int = 16) -> dict:
     """End-to-end CLI pipeline on the bench video, 256px short side."""
     import shutil
 
-    from denseflow_tpu.cli import main
+    from denseflow_tpu.cli import parse_args, run
+    from denseflow_tpu.executor import WIRE_STATS
 
     os.makedirs(BENCH_DIR, exist_ok=True)
     video = os.path.join(BENCH_DIR, "bench.avi")
@@ -137,34 +183,49 @@ def bench_pipeline(pair_batch: int = 16) -> dict:
     outdir = os.path.join(BENCH_DIR, "out")
     shutil.rmtree(outdir, ignore_errors=True)
 
+    def one_run(out):
+        cfg = parse_args(
+            [video, f"-o={out}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
+             f"--pairBatch={pair_batch}"]
+        )
+        WIRE_STATS.reset()
+        stats: dict = {}
+        t0 = time.perf_counter()
+        rc = run(cfg, stats_out=stats)
+        dt = time.perf_counter() - t0
+        if rc != 0:
+            raise RuntimeError("pipeline run failed")
+        stats["wire"] = WIRE_STATS.snapshot()
+        return dt, stats
+
     # warmup run to amortize XLA compilation out of the measurement
     warm_out = os.path.join(BENCH_DIR, "warm")
     shutil.rmtree(warm_out, ignore_errors=True)
-    rc = main(
-        [video, f"-o={warm_out}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
-         f"--pairBatch={pair_batch}"]
-    )
-    if rc != 0:
-        raise RuntimeError("warmup pipeline run failed")
+    one_run(warm_out)
 
     # best-of-5: the tunnel's multi-second stall spikes hit individual
     # runs at random (measured: identical code, 2.6s to 25s walls within
     # one hour); the best of 5 approximates the steady-state capability
     # the metric is defined to track (see bench_device_only)
-    best_dt = float("inf")
+    best_dt, best_stats, walls = float("inf"), {}, []
     for _ in range(5):
         shutil.rmtree(outdir, ignore_errors=True)
-        t0 = time.perf_counter()
-        rc = main(
-            [video, f"-o={outdir}", "-a=tvl1", "-s=1", "-b=20", "-ns=256",
-             f"--pairBatch={pair_batch}"]
-        )
-        dt = time.perf_counter() - t0
-        if rc != 0:
-            raise RuntimeError("pipeline run failed")
-        best_dt = min(best_dt, dt)
+        dt, stats = one_run(outdir)
+        walls.append(round(dt, 2))
+        if dt < best_dt:
+            best_dt, best_stats = dt, stats
     n_flows = N_FRAMES - 1
-    return {"flows_per_s": n_flows / best_dt, "seconds": best_dt, "flows": n_flows}
+    return {
+        "flows_per_s": n_flows / best_dt,
+        "seconds": best_dt,
+        "flows": n_flows,
+        "trial_walls": walls,
+        "stage_times": {
+            k: round(v, 2)
+            for k, v in best_stats.get("stage_times", {}).items()
+        },
+        "wire": best_stats.get("wire", {}),
+    }
 
 
 def main_bench() -> None:
@@ -184,8 +245,31 @@ def main_bench() -> None:
             )
         except Exception:
             per_algo[alg] = None  # extras must not sink the headline run
+    try:
+        link = bench_link()
+    except Exception:
+        link = {}  # attribution must not sink the headline run
     pipe = bench_pipeline(pair_batch)
     value = pipe["flows_per_s"]
+    # link-bound prediction: the tunnel is HALF-duplex (measured: two
+    # concurrent 4 MB transfers each run at ~half the solo rate —
+    # tools/probe_link2.py), so both directions share one byte budget and
+    # the floor on wall time is total effective bytes over the same-run
+    # measured rate. H2D is transport-compressed ~2x on video frames
+    # (PERFORMANCE.md); the v3 D2H payload is entropy-packed, i.e.
+    # incompressible and crosses at the random rate.
+    wire = pipe.get("wire", {})
+    predicted = None
+    if link and wire.get("h2d_bytes"):
+        rate = max(
+            min(link["h2d_mbps_random"], link["d2h_mbps_random"]), 0.1
+        )
+        link_s = (wire["h2d_bytes"] / 2.0 + wire["d2h_bytes"]) / 1e6 / rate
+        fixed_s = (
+            (wire["h2d_calls"] + wire["d2h_calls"])
+            * link["roundtrip_ms"] / 1e3 / 2.0
+        )
+        predicted = pipe["flows"] / (link_s + fixed_s + 0.3)
     result = {
         "metric": "tvl1_flow_fps_256p_e2e",
         "value": round(value, 2),
@@ -201,6 +285,13 @@ def main_bench() -> None:
             "brox_device_flows_per_s": per_algo["brox"],
             "pair_batch": pair_batch,
             "pipeline_seconds": round(pipe["seconds"], 2),
+            "trial_walls": pipe.get("trial_walls"),
+            "stage_times": pipe.get("stage_times"),
+            "wire_bytes": wire,
+            "link": link,
+            "link_bound_flows_per_s": (
+                round(predicted, 1) if predicted else None
+            ),
             "baseline_assumption": f"reference CUDA TVL1 ~{REFERENCE_TVL1_FLOWS_PER_S} flows/s (estimate, none published)",
         },
     }

@@ -44,6 +44,13 @@ class FarnebackParams:
     # displacement clamp for the gather-free masked-shift resampling of the
     # coefficient planes (see ops/warp.py); scaled per pyramid level
     max_disp: int = 40
+    # Kernel selection for the per-level iteration loop:
+    #   "fused" — Pallas kernel (kernels/farneback_fused.py): warp +
+    #             normal-eq + box blur + solve VMEM-resident per pair (the
+    #             XLA path streams ~15 HBM plane passes per iteration)
+    #   "off"   — pure XLA; the CPU / oracle path
+    #   "auto"  — "fused" on TPU (spatially tiled beyond VMEM), "off" on CPU
+    use_pallas: str = "auto"
 
 
 def _poly_exp_setup(n: int, sigma: float):
@@ -202,10 +209,26 @@ def _level_geometry(h: int, w: int, p: FarnebackParams):
     return out  # coarse first
 
 
-def farneback_flow(I0: jnp.ndarray, I1: jnp.ndarray, p: FarnebackParams) -> jnp.ndarray:
-    """I0, I1: (B, H, W) float32 (0..255 gray) -> flow (B, H, W, 2)."""
+def _pallas_mode(p: "FarnebackParams") -> str:
+    if p.use_pallas == "auto":
+        return "off" if jax.default_backend() == "cpu" else "fused"
+    return p.use_pallas
+
+
+def farneback_flow(
+    I0: jnp.ndarray,
+    I1: jnp.ndarray,
+    p: FarnebackParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """I0, I1: (B, H, W) float32 (0..255 gray) -> flow (B, H, W, 2).
+
+    interpret=True forces the fused Pallas kernel through the Pallas
+    interpreter (CPU) — used by tests to exercise the TPU kernel's math
+    without a chip."""
     h, w = I0.shape[-2], I0.shape[-1]
     geom = _level_geometry(h, w, p)
+    mode = "fused" if interpret else _pallas_mode(p)
     flow = None
     for li, (scale, lh, lw, ksize, sigma) in enumerate(geom):
         if flow is None:
@@ -222,8 +245,25 @@ def farneback_flow(I0: jnp.ndarray, I1: jnp.ndarray, p: FarnebackParams) -> jnp.
         L1 = resize_bilinear(B1, (lh, lw))
         R0 = poly_expand(L0, p.poly_n, p.poly_sigma)
         R1 = poly_expand(L1, p.poly_n, p.poly_sigma)
-        bscale = _border_scale(lh, lw)
         d_lvl = max(4, int(round(p.max_disp * scale)))
+        if mode == "fused":
+            from denseflow_tpu.kernels.farneback_fused import (
+                farneback_level_fused_tiled,
+            )
+
+            u, v = farneback_level_fused_tiled(
+                jnp.moveaxis(R0, -1, -3),
+                jnp.moveaxis(R1, -1, -3),
+                flow[..., 0],
+                flow[..., 1],
+                win_size=int(p.win_size),
+                num_iters=int(p.num_iters),
+                max_disp=float(d_lvl),
+                interpret=interpret,
+            )
+            flow = jnp.stack([u, v], axis=-1)
+            continue
+        bscale = _border_scale(lh, lw)
         M = update_matrices(R0, R1, flow, bscale, d_lvl)
         for it in range(p.num_iters):
             flow = solve_flow(_box_blur_planes(M, p.win_size))

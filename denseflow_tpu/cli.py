@@ -150,7 +150,11 @@ def parse_args(argv: List[str]) -> Optional[FlowConfig]:
     return cfg
 
 
-def run(cfg: FlowConfig) -> int:
+def run(cfg: FlowConfig, stats_out: "dict | None" = None) -> int:
+    """Execute a parsed config. stats_out (optional) receives run
+    telemetry: per-stage wall times, counters and wall seconds — used by
+    bench.py to attribute the headline number to stages without parsing
+    stdout."""
     cfg.validate()
     from denseflow_tpu.utils import enable_compile_cache
 
@@ -184,7 +188,12 @@ def run(cfg: FlowConfig) -> int:
         errors = pipe.errors
         if cfg.verbose and pipe.timers.totals:
             print(f"stage times: {pipe.timers.summary()}")
+        if stats_out is not None:
+            stats_out["stage_times"] = dict(pipe.timers.totals)
     end_t = current_seconds()
+    if stats_out is not None:
+        stats_out["counters"] = counters
+        stats_out["wall_s"] = end_t - start_t
     if cfg.profile_dir:
         import jax
 

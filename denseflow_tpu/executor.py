@@ -63,6 +63,46 @@ from denseflow_tpu.wire import (
 _PREFIX_QUANTUM = 512 * 1024
 
 
+class WireStats:
+    """Process-wide device-link byte counters (advisory, for bench/profiling
+    attribution — the reference prints only end-to-end fps,
+    src/denseflow_gpu.cpp:492-496, leaving the link invisible)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self.reset()
+
+    def reset(self) -> None:
+        self.h2d_bytes = 0
+        self.h2d_calls = 0
+        self.d2h_bytes = 0
+        self.d2h_calls = 0
+
+    def add_h2d(self, nbytes: int) -> None:
+        with self._lock:
+            self.h2d_bytes += int(nbytes)
+            self.h2d_calls += 1
+
+    def add_d2h(self, nbytes: int) -> None:
+        with self._lock:
+            self.d2h_bytes += int(nbytes)
+            self.d2h_calls += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "h2d_bytes": self.h2d_bytes,
+                "h2d_calls": self.h2d_calls,
+                "d2h_bytes": self.d2h_bytes,
+                "d2h_calls": self.d2h_calls,
+            }
+
+
+WIRE_STATS = WireStats()
+
+
 @lru_cache(maxsize=64)
 def _prefix_fn(nbytes: int):
     """Jitted `buf[:nbytes]` (static size, start 0) for prefix transfer."""
@@ -274,6 +314,7 @@ class DeviceExecutor:
         if n_pad > n:
             pad = np.repeat(frames[-1:], n_pad - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
+        WIRE_STATS.add_h2d(frames.nbytes)
         if self._sharding is not None:
             return jax.device_put(frames, self._sharding)
         return jax.device_put(frames)
@@ -347,19 +388,23 @@ class DeviceExecutor:
         for out, m, mb in outs:
             n_slabs = mb // self.B
             if not self.wire_pack:
-                q = self._deinterleave(np.asarray(out), n_slabs)[:m]
+                arr = np.asarray(out)
+                WIRE_STATS.add_d2h(arr.nbytes)
+                q = self._deinterleave(arr, n_slabs)[:m]
             elif self.n_dev == 1:
                 (buf_dev, used_dev, pref, pred), q_dev = out
                 used = int(np.asarray(used_dev))
                 self._note_used(used, mb)
                 if used <= pred:
                     arr = np.asarray(pref)
+                    WIRE_STATS.add_d2h(arr.nbytes)
                 else:
                     tail_n = _quantize_up(used - pred, buf_dev.shape[0] - pred)
                     tail = _tail_fn(tail_n)(buf_dev, np.int32(pred))
                     arr = np.concatenate(
                         [np.asarray(pref), np.asarray(tail)[: used - pred]]
                     )
+                    WIRE_STATS.add_d2h(pred + tail_n)
                 flags, q = unpack_chunk_v3_fast(
                     arr, mb, self.n_chan, self.height, self.width, EXC_CAP
                 )
@@ -367,10 +412,13 @@ class DeviceExecutor:
                     # a pair overflowed the codec's exception channel:
                     # fetch the exact raw payload kept on device
                     q = np.asarray(q_dev)
+                    WIRE_STATS.add_d2h(q.nbytes)
                 q = q[:m]
             else:
                 buf_dev, q_dev = out
-                flags, q = self._unpack_shards(np.asarray(buf_dev), mb)
+                arr = np.asarray(buf_dev)
+                WIRE_STATS.add_d2h(arr.nbytes)
+                flags, q = self._unpack_shards(arr, mb)
                 flags = self._deinterleave(flags, n_slabs)
                 if flags[:m].all():
                     q = self._deinterleave(q, n_slabs)
@@ -378,6 +426,7 @@ class DeviceExecutor:
                     # a pair overflowed the codec's exception channel:
                     # fetch the exact raw payload kept on device
                     q = self._deinterleave(np.asarray(q_dev), n_slabs)
+                    WIRE_STATS.add_d2h(q.nbytes)
                 q = q[:m]
             if self.save_type == "h5":
                 yield q, 0, m

@@ -91,16 +91,19 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
             t1, t1x, t1y = ops.resample((I1, I1x, I1y), v, 0, max_disp, "cubic")
             I1w, Ix, Iy = ops.resample((t1, t1x, t1y), u, 1, max_disp, "cubic")
             Iz = I1w - I0
-            Ixz = Ix - dx(I0)
-            Iyz = Iy - dy(I0)
 
             def inner_body(_, duv):
                 du, dv = duv
-                # derivatives of the warped gradients: constant within the
-                # outer step; recomputed per inner to keep VMEM small
+                # derivatives of the warped gradients and the gradient
+                # residuals: constant within the outer step; recomputed
+                # per inner — a D5 stencil costs ~8 VPU ops/px while a
+                # plane kept live costs 384 KB at the bench geometry (the
+                # kernel sits ~100 KB from the 16 MB scoped-VMEM limit)
                 Ixx = dx(Ix)
                 Ixy = dy(Ix)
                 Iyy = dy(Iy)
+                Ixz = Ix - dx(I0)
+                Iyz = Iy - dy(I0)
                 r_data = Iz + Ix * du + Iy * dv
                 r_gx = Ixz + Ixx * du + Ixy * dv
                 r_gy = Iyz + Ixy * du + Iyy * dv

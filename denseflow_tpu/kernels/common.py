@@ -93,7 +93,12 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
         return jnp.where(t < 0, lo, jnp.where(t > n - 1, hi, s))
 
     def conv_taps(p, taps: Sequence[float], axis: int, center: int):
-        """sum_k taps[k] * shift(p, k - center), skipping zero taps."""
+        """sum_k taps[k] * shift(p, k - center), skipping zero taps.
+
+        Unrolled — use only for SHORT stencils: Mosaic's stack allocator
+        can hold every tap's plane live at once, so a long unrolled
+        stencil costs taps x plane of scoped VMEM (use box_sum for wide
+        constant-coefficient windows)."""
         out = None
         for i, c in enumerate(taps):
             if c == 0.0:
@@ -101,6 +106,24 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
             term = jnp.float32(c) * shift(p, i - center, axis)
             out = term if out is None else out + term
         return out
+
+    def box_sum(p, win: int, axis: int):
+        """sum of shift(p, k, axis) for k in [-(win//2), win//2], replicate
+        borders at the real extent — as a fori_loop with a TRACED shift so
+        only one tap plane is ever live (vs `conv_taps`' win planes)."""
+        n = h if axis == 0 else w
+        np_ax = hp if axis == 0 else wp
+        lo, hi = _edges(p, axis)
+        t0 = row_i() if axis == 0 else col_i()
+        ctr = win // 2
+
+        def body(j, acc):
+            k = j - ctr
+            t = t0 + k
+            s = roll(p, (-k) % np_ax, axis)
+            return acc + jnp.where(t < 0, lo, jnp.where(t > n - 1, hi, s))
+
+        return jax.lax.fori_loop(0, win, body, jnp.zeros(shape, jnp.float32))
 
     def resample(planes, disp, axis: int, max_disp: float, kernel: str):
         """1-D resample of each plane in `planes` along `axis` at per-pixel
@@ -121,18 +144,22 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
         k_lo = jnp.floor(jnp.min(d)).astype(jnp.int32) - support + 1
         k_hi = jnp.ceil(jnp.max(d)).astype(jnp.int32) + support
 
-        edges = [_edges(p, axis) for p in planes]
-
         def body(k, outs):
             kf = k.astype(jnp.float32)
             c = kfn(d - kf)
             # tap index t = coord + k; roll wraps, so patch the
-            # out-of-image bands with the replicated edge values
+            # out-of-image bands with the replicated edge values.
+            # Edge broadcasts are built INSIDE the body: hoisted out of
+            # the sweep they become loop-invariant full planes that Mosaic
+            # keeps live for the whole loop (2 planes per resampled input
+            # — enough to blow the 16 MB scoped-VMEM limit on the larger
+            # kernels); in here they fuse into the selects.
             t = coords + kf
             lo_band = t < 0.0
             hi_band = t > float(n - 1)
             new = []
-            for p, (e_lo, e_hi), o in zip(planes, edges, outs):
+            for p, o in zip(planes, outs):
+                e_lo, e_hi = _edges(p, axis)
                 s = roll(p, -k, axis)
                 tapped = jnp.where(lo_band, e_lo, jnp.where(hi_band, e_hi, s))
                 new.append(o + c * tapped)
@@ -150,5 +177,6 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
     ops.real = real
     ops.shift = shift
     ops.conv_taps = conv_taps
+    ops.box_sum = box_sum
     ops.resample = resample
     return ops

@@ -1,0 +1,275 @@
+"""Fused per-level Farneback iteration kernel: warp + normal eq + box blur
++ solve, VMEM-resident.
+
+The XLA Farneback path (algorithms/farneback.py) streams the 5
+normal-equation planes plus the 5 resampled coefficient planes through HBM
+per iteration (update_matrices + 10x box blur per level) and measured ~500
+device flows/s at 256p — below TVL1's 768 despite being the cheaper
+algorithm (round-3 verdict item 3). This kernel runs one frame pair's
+whole per-level iteration loop (numIters=10, reference
+src/denseflow_gpu.cpp:301: winSize=13, polyN=5) with everything resident
+in VMEM:
+
+* the bilinear resample of the 5 polynomial-coefficient planes at the
+  displaced positions — the adaptive roll-sweep resampler from
+  kernels/common.py with the linear kernel (support 1);
+* the normal-equation build (elementwise) with OpenCV's border
+  attenuation ramp, computed in-kernel from the index planes;
+* the 13x13 box aggregation as two 13-tap replicate-border stencils;
+* the 2x2 solve (elementwise).
+
+Inputs per pair: the 5+5 polynomial-expansion planes of both frames
+(computed once per level in XLA — cheap relative to the iteration loop)
+and the incoming flow; output the refined flow. HBM traffic per level
+drops from ~15 plane passes x numIters to 12 plane loads + 2 stores.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from denseflow_tpu.kernels.common import make_plane_ops
+
+# live f32 planes (R0 + R1 + warped + M + flow + ramp/temps), for the
+# VMEM planner
+_PLANES = 30
+_MAX_GRID_BATCH = 16
+
+# OpenCV's border attenuation ramp (algorithms/farneback._BORDER)
+_BORDER = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+
+
+def _make_kernel(h: int, w: int, hp: int, wp: int, win_size: int,
+                 num_iters: int, max_disp: float, interpret: bool):
+    ops = make_plane_ops(h, w, hp, wp, interpret)
+    inv_win = 1.0 / win_size
+
+    def blur(p):
+        # box_sum (fori_loop, one live tap plane) not conv_taps: the
+        # 13-tap window unrolled held ~13 planes live per axis and blew
+        # the scoped-VMEM limit (measured 23.4 MB vs 16 MB)
+        t = ops.box_sum(p, win_size, 0) * inv_win
+        return ops.box_sum(t, win_size, 1) * inv_win
+
+    def border_scale():
+        """Separable attenuation: both bands multiply (they overlap on
+        tiny levels), matching algorithms/farneback._border_scale."""
+        k_h = min(len(_BORDER), h)
+        k_w = min(len(_BORDER), w)
+        ri = ops.row_i()
+        ci = ops.col_i()
+        s = jnp.ones((hp, wp), jnp.float32)
+        for j in range(k_h):
+            s = s * jnp.where(ri == j, jnp.float32(_BORDER[j]), 1.0)
+            s = s * jnp.where(ri == h - 1 - j, jnp.float32(_BORDER[j]), 1.0)
+        for j in range(k_w):
+            s = s * jnp.where(ci == j, jnp.float32(_BORDER[j]), 1.0)
+            s = s * jnp.where(ci == w - 1 - j, jnp.float32(_BORDER[j]), 1.0)
+        return s
+
+    def kernel(R0_hbm, R1_hbm, u_ref, v_ref, u_out, v_out,
+               R0_scr, R1_scr, sems):
+        # R0/R1 stay in HBM (pl.BlockSpec(memory_space=ANY)) and are DMA'd
+        # here into VMEM scratch ONCE per pair: as pipelined VMEM blocks
+        # their 12 planes would be double-buffered by Mosaic (measured
+        # 23.4 MB total vs the 16 MB scoped-VMEM limit)
+        i = pl.program_id(0)
+        d0 = pltpu.make_async_copy(R0_hbm.at[i], R0_scr, sems.at[0])
+        d1 = pltpu.make_async_copy(R1_hbm.at[i], R1_scr, sems.at[1])
+        d0.start()
+        d1.start()
+        d0.wait()
+        d1.wait()
+        R0 = tuple(R0_scr[c] for c in range(5))
+        R1 = tuple(R1_scr[c] for c in range(5))
+        real = ops.real()
+        u0 = jnp.where(real, u_ref[0], 0.0)
+        v0 = jnp.where(real, v_ref[0], 0.0)
+        bscale = border_scale()
+
+        def update(u, v):
+            """update_matrices (algorithms/farneback.py): warp R1 by the
+            flow, average with R0, project to the normal-eq planes.
+
+            Planes warp ONE AT A TIME (the shared-coefficient 5-plane
+            sweep would hold sources + intermediates + accumulators = 20
+            planes live; per-plane costs ~1.4x the sweep arithmetic and
+            halves the peak)."""
+            R1s = []
+            for p in R1:
+                (t,) = ops.resample((p,), v, 0, max_disp, "linear")
+                (r,) = ops.resample((t,), u, 1, max_disp, "linear")
+                R1s.append(r)
+            a11 = (R0[2] + R1s[2]) * 0.5
+            a22 = (R0[3] + R1s[3]) * 0.5
+            a12 = (R0[4] + R1s[4]) * 0.25
+            db1 = (R0[0] - R1s[0]) * 0.5
+            db2 = (R0[1] - R1s[1]) * 0.5
+            b1 = db1 + a11 * u + a12 * v
+            b2 = db2 + a12 * u + a22 * v
+            a11 = a11 * bscale
+            a22 = a22 * bscale
+            a12 = a12 * bscale
+            b1 = b1 * bscale
+            b2 = b2 * bscale
+            g11 = a11 * a11 + a12 * a12
+            g12 = (a11 + a22) * a12
+            g22 = a22 * a22 + a12 * a12
+            h1 = a11 * b1 + a12 * b2
+            h2 = a12 * b1 + a22 * b2
+            return g11, g12, g22, h1, h2
+
+        def iter_body(_, uv):
+            u, v = uv
+            g11, g12, g22, h1, h2 = (blur(p) for p in update(u, v))
+            idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+            un = (g22 * h1 - g12 * h2) * idet
+            vn = (g11 * h2 - g12 * h1) * idet
+            # keep the padded band at 0 so the warp's sweep range and the
+            # blur taps stay anchored to real content
+            return jnp.where(real, un, 0.0), jnp.where(real, vn, 0.0)
+
+        u, v = jax.lax.fori_loop(0, num_iters, iter_body, (u0, v0))
+        u_out[0] = u
+        v_out[0] = v
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "num_iters", "max_disp", "interpret"),
+)
+def farneback_level_fused(
+    R0: jnp.ndarray,
+    R1: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    win_size: int,
+    num_iters: int,
+    max_disp: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run one level's numIters displacement iterations.
+
+    R0, R1: (B, 5, H, W) float32 polynomial-expansion planes (bx, by, cxx,
+    cyy, cxy); u, v: (B, H, W) float32 incoming flow components. Returns
+    the refined (u, v)."""
+    b, _, h, w = R0.shape
+    if b > _MAX_GRID_BATCH:
+        k = _MAX_GRID_BATCH
+        pad = (-b) % k
+        args = (R0, R1, u, v)
+        if pad:
+            args = tuple(
+                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+                for x in args
+            )
+        stacked = tuple(
+            x.reshape((-1, k) + x.shape[1:]) for x in args
+        )
+
+        def one_slab(xs):
+            return farneback_level_fused(
+                *xs, win_size=win_size, num_iters=num_iters,
+                max_disp=max_disp, interpret=interpret,
+            )
+
+        uo, vo = jax.lax.map(one_slab, stacked)
+        return uo.reshape(-1, h, w)[:b], vo.reshape(-1, h, w)[:b]
+
+    hp = ((h + 7) // 8) * 8
+    wp = ((w + 127) // 128) * 128
+    if (hp, wp) != (h, w):
+        R0 = jnp.pad(R0, [(0, 0), (0, 0), (0, hp - h), (0, wp - w)])
+        R1 = jnp.pad(R1, [(0, 0), (0, 0), (0, hp - h), (0, wp - w)])
+        u = jnp.pad(u, [(0, 0), (0, hp - h), (0, wp - w)])
+        v = jnp.pad(v, [(0, 0), (0, hp - h), (0, wp - w)])
+    kernel = _make_kernel(
+        h, w, hp, wp, int(win_size), int(num_iters), float(max_disp),
+        bool(interpret),
+    )
+    plane = jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)
+    spec_r = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; DMA'd in-kernel
+    spec_f = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_iter = 2 * win_size * 5 + 60 + 40  # blur taps + update + solve
+    u_o, v_o = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_r, spec_r, spec_f, spec_f],
+        out_specs=[spec_f, spec_f],
+        out_shape=[plane] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((5, hp, wp), jnp.float32),
+            pltpu.VMEM((5, hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=per_iter * num_iters * h * w,
+            bytes_accessed=12 * b * h * w * 4,
+            transcendentals=0,
+        ),
+    )(R0, R1, u, v)
+    return u_o[:, :h, :w], v_o[:, :h, :w]
+
+
+def farneback_level_fused_tiled(
+    R0: jnp.ndarray,
+    R1: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    tile_budget: "int | None" = None,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`farneback_level_fused` for ANY geometry via the shared spatial
+    tiler. Halo covers the warp reach + one box window + linear support;
+    influence beyond that (iterated blur) decays and lands in the seam
+    tolerance pinned by tests (same contract as the TVL1/Brox tilers)."""
+    from denseflow_tpu.kernels.tvl1_fused import _VMEM_BUDGET, plan_tiles
+
+    budget = _VMEM_BUDGET if tile_budget is None else tile_budget
+    b, _, h, w = R0.shape
+    halo = (
+        int(np.ceil(float(kw.get("max_disp", 40.0))))
+        + 1
+        + int(kw.get("win_size", 13))
+    )
+    plan = plan_tiles(h, w, halo=halo, budget_bytes=budget, planes=_PLANES)
+    if plan is None:
+        return farneback_level_fused(R0, R1, u, v, **kw)
+    hs, ws, th, tw, hb, wb = plan
+
+    def cut(x, ys, xs):
+        return x[..., ys:ys + th, xs:xs + tw]
+
+    stacked = [
+        jnp.concatenate([cut(x, ys, xs) for ys in hs for xs in ws], axis=0)
+        for x in (R0, R1, u, v)
+    ]
+    uo, vo = farneback_level_fused(*stacked, **kw)
+    nw = len(ws)
+
+    def stitch(t):
+        rows = []
+        for iy, ys in enumerate(hs):
+            y0, y1 = hb[iy], hb[iy + 1]
+            cols = []
+            for ix, xs in enumerate(ws):
+                k = iy * nw + ix
+                x0, x1 = wb[ix], wb[ix + 1]
+                cols.append(
+                    t[k * b:(k + 1) * b, y0 - ys:y1 - ys, x0 - xs:x1 - xs]
+                )
+            rows.append(jnp.concatenate(cols, axis=2))
+        return jnp.concatenate(rows, axis=1)
+
+    return stitch(uo), stitch(vo)
