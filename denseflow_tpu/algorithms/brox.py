@@ -42,6 +42,15 @@ class BroxParams:
     outer_iterations: int = 77
     solver_iterations: int = 10
     min_size: int = 16
+    # Convergence stop for the outer warping loop: exit when an outer
+    # step's flow update satisfies sum(du^2 + dv^2) <= (stop_eps^2 * area),
+    # i.e. the RMS per-pixel update fell below stop_eps px — the remaining
+    # outers would no-op within the same ball. The reference's CUDA Brox
+    # runs all 77 outers unconditionally (src/denseflow_gpu.cpp:303); at
+    # 1e-3 px RMS the result is indistinguishable (golden EPE gates are
+    # 0.5 px) while typical content converges in a fraction of the
+    # budget. 0 disables (reference-exact iteration count).
+    stop_eps: float = 1e-3
     # Brox presmoothing of the input images
     presmooth_sigma: float = 0.8
     # displacement clamp for the gather-free masked-shift warp
@@ -112,6 +121,7 @@ def _solve_level(
             outer_iterations=int(p.outer_iterations),
             solver_iterations=int(p.solver_iterations),
             max_disp=float(max_disp),
+            stop_eps=float(p.stop_eps),
             interpret=interpret,
         )
         return u, v
@@ -123,8 +133,11 @@ def _solve_level(
     I0x = _dx(I0)
     I0y = _dy(I0)
 
-    def outer_body(_, uv):
-        u, v = uv
+    area = I0.shape[-1] * I0.shape[-2]
+    stop = jnp.float32(p.stop_eps * p.stop_eps * area) if p.stop_eps > 0 else None
+
+    def outer_body(uv):
+        u, v, active, n = uv
         warped = warp_shift(
             jnp.stack([I1, I1x_full, I1y_full]), u, v, max_disp, "cubic"
         )
@@ -204,9 +217,31 @@ def _solve_level(
             return du, dv
 
         du, dv = jax.lax.fori_loop(0, p.inner_iterations, inner_body, (du, dv))
-        return u + du, v + dv
+        if stop is None:
+            return u + du, v + dv, active, n + 1
+        # per-pair convergence with FREEZE (like TVL1): a converged pair
+        # stops updating, so every pair's trajectory is independent of
+        # its batch-mates and outputs are invariant to chunk grouping
+        err = jnp.sum(du * du + dv * dv, axis=(-2, -1))
+        keep = active[:, None, None]
+        u = jnp.where(keep, u + du, u)
+        v = jnp.where(keep, v + dv, v)
+        return u, v, active & (err > stop), n + 1
 
-    u, v = jax.lax.fori_loop(0, p.outer_iterations, outer_body, (u, v))
+    active0 = jnp.ones(u.shape[:1], bool)
+    if stop is None:
+        u, v, _, _ = jax.lax.fori_loop(
+            0, p.outer_iterations,
+            lambda _, s: outer_body(s), (u, v, active0, jnp.int32(0)),
+        )
+    else:
+        u, v, _, _ = jax.lax.while_loop(
+            lambda s: jnp.logical_and(
+                s[3] < p.outer_iterations, jnp.any(s[2])
+            ),
+            outer_body,
+            (u, v, active0, jnp.int32(0)),
+        )
     return u, v
 
 

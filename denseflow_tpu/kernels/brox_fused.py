@@ -57,7 +57,8 @@ _D5 = [1.0 / 12.0, -8.0 / 12.0, 0.0, 8.0 / 12.0, -1.0 / 12.0]
 
 def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
                  inner_iterations: int, outer_iterations: int,
-                 solver_iterations: int, max_disp: float, interpret: bool):
+                 solver_iterations: int, max_disp: float, stop_eps: float,
+                 interpret: bool):
     ops = make_plane_ops(h, w, hp, wp, interpret)
 
     def dx(p):
@@ -84,8 +85,17 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
         u0 = jnp.where(real, u_ref[0], 0.0)
         v0 = jnp.where(real, v_ref[0], 0.0)
 
-        def outer_body(_, uv):
-            u, v = uv
+        # RMS-update convergence stop (mirrors algorithms/brox.py): the
+        # kernel is per-pair, so the stop is naturally per-pair and
+        # results are invariant to batch/chunk grouping
+        stop = (
+            jnp.float32(stop_eps * stop_eps * h * w)
+            if stop_eps > 0
+            else jnp.float32(-1.0)
+        )
+
+        def outer_body(state):
+            _, _, u, v = state
             I1x = dx(I1)
             I1y = dy(I1)
             t1, t1x, t1y = ops.resample((I1, I1x, I1y), v, 0, max_disp, "cubic")
@@ -162,16 +172,27 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
 
             z = jnp.zeros((hp, wp), jnp.float32)
             du, dv = jax.lax.fori_loop(0, inner_iterations, inner_body, (z, z))
+            # padded-band du/dv is junk math on zero inputs — mask it out
+            # of the convergence reduction
+            err = jnp.sum(jnp.where(real, du * du + dv * dv, 0.0))
             # pin the increment off-image (matches the XLA path where u, v
             # simply have no padded band)
             return (
+                state[0] + 1,
+                jnp.logical_and(stop >= 0.0, err <= stop),
                 jnp.where(real, u + du, 0.0),
                 jnp.where(real, v + dv, 0.0),
             )
 
-        u, v = jax.lax.fori_loop(0, outer_iterations, outer_body, (u0, v0))
-        u_out[0] = u
-        v_out[0] = v
+        def outer_cond(state):
+            n, done = state[0], state[1]
+            return jnp.logical_and(n < outer_iterations, jnp.logical_not(done))
+
+        final = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.int32(0), jnp.bool_(False), u0, v0)
+        )
+        u_out[0] = final[2]
+        v_out[0] = final[3]
 
     return kernel
 
@@ -180,7 +201,7 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
     jax.jit,
     static_argnames=(
         "alpha", "gamma", "inner_iterations", "outer_iterations",
-        "solver_iterations", "max_disp", "interpret",
+        "solver_iterations", "max_disp", "stop_eps", "interpret",
     ),
 )
 def brox_scale_fused(
@@ -195,10 +216,13 @@ def brox_scale_fused(
     outer_iterations: int,
     solver_iterations: int,
     max_disp: float,
+    stop_eps: float = 0.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run all outer x inner x solver iterations of one pyramid level.
-    Arrays (B, H, W) float32 (images in [0,1]); returns the updated flow."""
+    """Run up to outer x inner x solver iterations of one pyramid level.
+    Arrays (B, H, W) float32 (images in [0,1]); returns the updated flow.
+    stop_eps > 0 enables the per-pair RMS-update outer stop (see
+    BroxParams.stop_eps); 0 runs the full budget."""
     b, h, w = u.shape
     if b > _MAX_GRID_BATCH:
         # slab the batch through lax.map (NOT unrolled sub-calls: XLA
@@ -224,7 +248,7 @@ def brox_scale_fused(
                 inner_iterations=inner_iterations,
                 outer_iterations=outer_iterations,
                 solver_iterations=solver_iterations,
-                max_disp=max_disp, interpret=interpret,
+                max_disp=max_disp, stop_eps=stop_eps, interpret=interpret,
             )
 
         uo, vo = jax.lax.map(one_slab, stacked)
@@ -238,7 +262,7 @@ def brox_scale_fused(
     kernel = _make_kernel(
         h, w, hp, wp, float(alpha), float(gamma), int(inner_iterations),
         int(outer_iterations), int(solver_iterations), float(max_disp),
-        bool(interpret),
+        float(stop_eps), bool(interpret),
     )
     plane = jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)
     spec = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

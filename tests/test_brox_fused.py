@@ -63,7 +63,7 @@ class TestLevelEquivalence:
             inner_iterations=FAST.inner_iterations,
             outer_iterations=FAST.outer_iterations,
             solver_iterations=FAST.solver_iterations,
-            max_disp=8.0, interpret=True,
+            max_disp=8.0, stop_eps=FAST.stop_eps, interpret=True,
         )
         du = np.abs(np.asarray(uf) - np.asarray(ur))
         dv = np.abs(np.asarray(vf) - np.asarray(vr))
@@ -80,7 +80,7 @@ class TestLevelEquivalence:
         kw = dict(
             alpha=FAST.alpha, gamma=FAST.gamma,
             inner_iterations=2, outer_iterations=2, solver_iterations=3,
-            max_disp=6.0, interpret=True,
+            max_disp=6.0, stop_eps=1e-3, interpret=True,
         )
         us, vs = brox_scale_fused(I0, I1, z, z, **kw)
         parts = []
@@ -95,6 +95,40 @@ class TestLevelEquivalence:
         vr = np.concatenate([np.asarray(p[1]) for p in parts])
         np.testing.assert_array_equal(np.asarray(us), ur)
         np.testing.assert_array_equal(np.asarray(vs), vr)
+
+
+class TestConvergenceStop:
+    @pytest.mark.slow
+    def test_stop_matches_full_budget(self):
+        """stop_eps=1e-3 must land within a hair of the full iteration
+        budget (the stop only fires once an outer step's RMS update is
+        below 1e-3 px — remaining outers are no-ops within that ball)."""
+        import scipy.ndimage as ndi
+        from scipy.ndimage import map_coordinates
+
+        dx, dy = 1.2, -0.6
+        h, w = 48, 64
+        rng = np.random.default_rng(7)
+        base = ndi.gaussian_filter(
+            rng.uniform(0, 1, (h + 16, w + 16)), 1.5
+        ).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        I0 = base[8 : 8 + h, 8 : 8 + w]
+        I1 = map_coordinates(
+            base, [yy + 8 - dy, xx + 8 - dx], order=3, mode="nearest"
+        ).astype(np.float32)
+        full = dataclasses.replace(
+            FAST, outer_iterations=30, stop_eps=0.0
+        )
+        stop = dataclasses.replace(full, stop_eps=1e-3)
+        f_full = np.asarray(
+            brox_flow(jnp.asarray(I0[None]), jnp.asarray(I1[None]), full)
+        )
+        f_stop = np.asarray(
+            brox_flow(jnp.asarray(I0[None]), jnp.asarray(I1[None]), stop)
+        )
+        d = np.abs(f_full - f_stop)
+        assert d.mean() < 5e-3 and d.max() < 5e-2, (d.mean(), d.max())
 
 
 class TestFullFlow:
