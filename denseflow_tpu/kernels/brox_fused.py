@@ -102,8 +102,9 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
             I1w, Ix, Iy = ops.resample((t1, t1x, t1y), u, 1, max_disp, "cubic")
             Iz = I1w - I0
 
-            def inner_body(_, duv):
-                du, dv = duv
+            def inner_body(state):
+                _, _, du, dv = state
+                du0, dv0 = du, dv
                 # derivatives of the warped gradients and the gradient
                 # residuals: constant within the outer step; recomputed
                 # per inner — a D5 stencil costs ~8 VPU ops/px while a
@@ -166,12 +167,35 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
                     dv_new = (b2 - a12 * du_new + a * lap_v) * rv
                     return du_new, dv_new
 
-                return jax.lax.fori_loop(
+                du, dv = jax.lax.fori_loop(
                     0, solver_iterations, jacobi_body, (du, dv)
+                )
+                # inner fixed-point stop: a step whose increment change
+                # fell below the RMS threshold has converged this outer's
+                # linearization (mirrors algorithms/brox.py)
+                err_i = jnp.sum(
+                    jnp.where(
+                        real, (du - du0) ** 2 + (dv - dv0) ** 2, 0.0
+                    )
+                )
+                return (
+                    state[0] + 1,
+                    jnp.logical_and(stop >= 0.0, err_i <= stop * 0.0625),
+                    du,
+                    dv,
+                )
+
+            def inner_cond(state):
+                j, done = state[0], state[1]
+                return jnp.logical_and(
+                    j < inner_iterations, jnp.logical_not(done)
                 )
 
             z = jnp.zeros((hp, wp), jnp.float32)
-            du, dv = jax.lax.fori_loop(0, inner_iterations, inner_body, (z, z))
+            fin = jax.lax.while_loop(
+                inner_cond, inner_body, (jnp.int32(0), jnp.bool_(False), z, z)
+            )
+            du, dv = fin[2], fin[3]
             # padded-band du/dv is junk math on zero inputs — mask it out
             # of the convergence reduction
             err = jnp.sum(jnp.where(real, du * du + dv * dv, 0.0))

@@ -47,7 +47,8 @@ _BORDER = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
 
 
 def _make_kernel(h: int, w: int, hp: int, wp: int, win_size: int,
-                 num_iters: int, max_disp: float, interpret: bool):
+                 num_iters: int, max_disp: float, stop_eps: float,
+                 interpret: bool):
     ops = make_plane_ops(h, w, hp, wp, interpret)
     inv_win = 1.0 / win_size
 
@@ -126,26 +127,50 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, win_size: int,
             h2 = a12 * b1 + a22 * b2
             return g11, g12, g22, h1, h2
 
-        def iter_body(_, uv):
-            u, v = uv
+        # RMS-update convergence stop (mirrors algorithms/farneback.py);
+        # per-pair by construction, so batch grouping cannot change results
+        stop = (
+            jnp.float32(stop_eps * stop_eps * h * w)
+            if stop_eps > 0
+            else jnp.float32(-1.0)
+        )
+
+        def iter_body(s):
+            n, _, u, v = s
             g11, g12, g22, h1, h2 = (blur(p) for p in update(u, v))
             idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
             un = (g22 * h1 - g12 * h2) * idet
             vn = (g11 * h2 - g12 * h1) * idet
+            err = jnp.sum(
+                jnp.where(real, (un - u) ** 2 + (vn - v) ** 2, 0.0)
+            )
             # keep the padded band at 0 so the warp's sweep range and the
             # blur taps stay anchored to real content
-            return jnp.where(real, un, 0.0), jnp.where(real, vn, 0.0)
+            return (
+                n + 1,
+                jnp.logical_and(stop >= 0.0, err <= stop),
+                jnp.where(real, un, 0.0),
+                jnp.where(real, vn, 0.0),
+            )
 
-        u, v = jax.lax.fori_loop(0, num_iters, iter_body, (u0, v0))
-        u_out[0] = u
-        v_out[0] = v
+        def iter_cond(s):
+            n, done = s[0], s[1]
+            return jnp.logical_and(n < num_iters, jnp.logical_not(done))
+
+        final = jax.lax.while_loop(
+            iter_cond, iter_body, (jnp.int32(0), jnp.bool_(False), u0, v0)
+        )
+        u_out[0] = final[2]
+        v_out[0] = final[3]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win_size", "num_iters", "max_disp", "interpret"),
+    static_argnames=(
+        "win_size", "num_iters", "max_disp", "stop_eps", "interpret"
+    ),
 )
 def farneback_level_fused(
     R0: jnp.ndarray,
@@ -156,6 +181,7 @@ def farneback_level_fused(
     win_size: int,
     num_iters: int,
     max_disp: float,
+    stop_eps: float = 0.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run one level's numIters displacement iterations.
@@ -180,7 +206,7 @@ def farneback_level_fused(
         def one_slab(xs):
             return farneback_level_fused(
                 *xs, win_size=win_size, num_iters=num_iters,
-                max_disp=max_disp, interpret=interpret,
+                max_disp=max_disp, stop_eps=stop_eps, interpret=interpret,
             )
 
         uo, vo = jax.lax.map(one_slab, stacked)
@@ -195,7 +221,7 @@ def farneback_level_fused(
         v = jnp.pad(v, [(0, 0), (0, hp - h), (0, wp - w)])
     kernel = _make_kernel(
         h, w, hp, wp, int(win_size), int(num_iters), float(max_disp),
-        bool(interpret),
+        float(stop_eps), bool(interpret),
     )
     plane = jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)
     spec_r = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; DMA'd in-kernel

@@ -115,6 +115,35 @@ class TestLevelEquivalence:
         np.testing.assert_array_equal(np.asarray(vs), vr)
 
 
+class TestConvergenceStop:
+    def test_stop_matches_full_budget(self):
+        """stop_eps=1e-3 (default) must land within a hair of the full
+        numIters budget — the stop only fires when an iteration's RMS
+        update is already below 1e-3 px."""
+        import scipy.ndimage as ndi
+        from scipy.ndimage import map_coordinates
+
+        dx, dy = 1.8, -1.1
+        h, w = 64, 96
+        rng = np.random.default_rng(5)
+        base = ndi.gaussian_filter(
+            rng.uniform(0, 255, (h + 16, w + 16)), 1.5
+        ).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        I0 = jnp.asarray(base[8 : 8 + h, 8 : 8 + w][None])
+        I1 = jnp.asarray(
+            map_coordinates(
+                base, [yy + 8 - dy, xx + 8 - dx], order=3, mode="nearest"
+            ).astype(np.float32)[None]
+        )
+        full = dataclasses.replace(P, stop_eps=0.0)
+        stop = dataclasses.replace(P, stop_eps=1e-3)
+        f_full = np.asarray(farneback_flow(I0, I1, full))
+        f_stop = np.asarray(farneback_flow(I0, I1, stop))
+        d = np.abs(f_full - f_stop)
+        assert d.mean() < 5e-3 and d.max() < 5e-2, (d.mean(), d.max())
+
+
 class TestFullFlow:
     def test_translation_interpret(self):
         """Full coarse-to-fine Farneback through the fused kernel tracks a

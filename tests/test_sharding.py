@@ -52,6 +52,28 @@ class TestExecutorMultiDevice:
         assert p4.shape == (10, 48, 64, 3)
         assert np.array_equal(p1, p4)
 
+    def test_multi_dev_wire_bytes_near_single(self, eight_devices):
+        """The multi-device path uses the v3 codec with per-shard
+        used-prefix transfers (round-3 verdict item 3: the old v2 path
+        paid ~2.6x the single-dev D2H bytes). Gate: multi-dev D2H bytes
+        <= 1.2x single-dev v3 on the same chunk, modulo the per-shard
+        prefix-quantum rounding."""
+        from denseflow_tpu.executor import WIRE_STATS, DeviceExecutor, _PREFIX_QUANTUM
+
+        frames = _frames(34, 64, 80, seed=3)
+        ex1 = DeviceExecutor("tvl1", 64, 80, 1, 20, "jpg", 16, 128, None, 1)
+        ex8 = DeviceExecutor("tvl1", 64, 80, 1, 20, "jpg", 16, 128, None, 8)
+        WIRE_STATS.reset()
+        out1 = ex1.run_chunk(frames.copy(), 34)
+        b1 = WIRE_STATS.snapshot()["d2h_bytes"]
+        WIRE_STATS.reset()
+        out8 = ex8.run_chunk(frames.copy(), 34)
+        b8 = WIRE_STATS.snapshot()["d2h_bytes"]
+        assert np.array_equal(out1[0], out8[0])
+        # 8 shards round to the prefix quantum independently; subtract
+        # that rounding before comparing against the 1.2x contract
+        assert b8 - 8 * _PREFIX_QUANTUM <= 1.2 * b1, (b1, b8)
+
     def test_negative_step_h5(self, eight_devices):
         """Raw-f32 payloads agree within the solver's epsilon ball: the
         convergence check sums a plane, and XLA's reduction order differs
