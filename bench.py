@@ -232,7 +232,10 @@ def main_bench() -> None:
     from denseflow_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    pair_batch = int(os.environ.get("BENCH_PAIR_BATCH", "16"))
+    # 128: fewest device dispatches per chunk and the top of the measured
+    # device-throughput curve (BASELINE.md Scaling); measured e2e 221 vs
+    # 206 flows/s at 16 (round 4, sorted v3 pack)
+    pair_batch = int(os.environ.get("BENCH_PAIR_BATCH", "128"))
     device = bench_device_only(pair_batch)
     # per-algorithm device throughput (all four algorithms are first-class
     # in the reference, src/denseflow_gpu.cpp:285-304; nv maps to the fast

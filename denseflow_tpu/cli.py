@@ -76,6 +76,13 @@ TPU extensions:
     --maxDisp (value:0)        finest-level displacement clamp in px
                                (0 = solver default 40); raise for very
                                fast motion at high resolution
+    --h5Dtype (value:f32)      h5 wire precision: f32 (exact) or f16
+                               (halved device-link bytes, ~1e-3 relative
+                               loss; disk datasets stay float32)
+    --widthBucket (value:0)    pad frame width up to a multiple of N on
+                               device and crop host-side: caps XLA
+                               compiles on mixed-resolution lists
+                               (0 = exact geometry)
 """
 
 # short/long aliases -> (config field, type); bool fields are presence flags
@@ -117,6 +124,8 @@ _KEYS: Dict[str, Tuple[str, type]] = {
     "coordinator": ("coordinator", str),
     "wirePack": ("wire_pack", bool),
     "maxDisp": ("max_disp", int),
+    "h5Dtype": ("h5_dtype", str),
+    "widthBucket": ("width_bucket", int),
 }
 
 _TRUE = ("", "true", "1", "yes")

@@ -106,6 +106,26 @@ class FlowConfig:
     # proportionally). The png save path advertises bounds up to 1020
     # (reference src/common.cpp:24).
     max_disp: int = 0
+    # Wire precision for the h5 save path. The h5 DISK format is float32
+    # datasets either way (reference src/common.cpp:120-150); "f16" halves
+    # the device-link bytes by downcasting the flow ON DEVICE before
+    # transfer (payloads are raw floats — the entropy codec only covers
+    # quantized uint8 payloads — and raw float32 is the worst-cased config
+    # on a remote link: ~8x the jpg payload, round-3 verdict item 5).
+    # f16 is lossy (~1e-3 relative; flow magnitude <= bound clips far
+    # coarser on disk anyway) and therefore OPT-IN; "f32" is exact.
+    h5_dtype: str = "f32"
+    # Pad frame WIDTH up to a multiple of this before the device solve and
+    # crop the payload back host-side (0 = off, exact geometry). Every
+    # distinct (H, W) costs an XLA compile (20-300 s through a
+    # remote-compile tunnel); a mixed-resolution videolist at -ns=256
+    # yields one height but many widths, so bucketing to e.g. 64 caps the
+    # distinct programs at a handful (round-3 verdict item 5; the
+    # reference runs any W x H with zero setup cost,
+    # src/denseflow_gpu.cpp:44-80). Frames pad by edge replication; flow
+    # near the right edge can differ slightly from the exact-W solve
+    # (border handling sees a flat extension), so this is OPT-IN.
+    width_bucket: int = 0
 
     def validate(self) -> None:
         """Raise ValueError on any violation of the reference's rules
@@ -128,6 +148,10 @@ class FlowConfig:
             raise ValueError("devices cannot < 0!")
         if self.max_disp < 0:
             raise ValueError("maxDisp cannot < 0!")
+        if self.h5_dtype not in ("f32", "f16"):
+            raise ValueError("h5Dtype must be f32 or f16!")
+        if self.width_bucket < 0:
+            raise ValueError("widthBucket cannot < 0!")
         if self.preset:
             from denseflow_tpu.algorithms import solver_params
 

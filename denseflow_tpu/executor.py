@@ -51,9 +51,7 @@ from denseflow_tpu.algorithms import make_solver
 from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
 from denseflow_tpu.wire import (
     EXC_CAP,
-    pack_chunk,
-    pack_chunk_v3,
-    unpack_chunk_fast,
+    pack_chunk_v3_sorted,
     unpack_chunk_v3_fast,
 )
 
@@ -139,12 +137,24 @@ class DeviceExecutor:
         n_devices: int = 0,
         wire_pack: bool = True,
         max_disp: int = 0,
+        h5_f16: bool = False,
+        width_bucket: int = 0,
     ) -> None:
         self.height = height
+        # width bucketing (config.width_bucket): solve at a padded width
+        # so mixed-resolution lists share a handful of XLA programs; the
+        # host crops payloads back to the real width
+        self.w_real = width
+        if width_bucket > 0:
+            width = -(-width // width_bucket) * width_bucket
         self.width = width
         self.step = step
         self.bound = float(bound)
         self.save_type = save_type
+        # h5 wire precision: downcast the flow to f16 ON DEVICE before
+        # transfer (halves the link bytes of the raw-float worst case;
+        # opt-in because it is lossy ~1e-3 relative — config.h5_dtype)
+        self.h5_f16 = bool(h5_f16) and save_type == "h5"
         # channels of the quantized payload crossing the wire
         self.n_chan = {"jpg": 2, "png": 3}.get(save_type, 0)
         # the wire codec only applies to uint8 payloads (jpg/png); h5 is
@@ -228,6 +238,8 @@ class DeviceExecutor:
         )
         flow = self._solver(I0, I1)
         if self.save_type == "h5":
+            if self.h5_f16:
+                return flow.astype(jnp.float16)
             return flow  # raw float32 (n, H, W, 2)
         if self.save_type == "jpg":
             qx, qy = quantize_flow_pair(flow, self.bound)
@@ -257,8 +269,10 @@ class DeviceExecutor:
                 q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
                 if not do_pack:
                     return q
-                # v3: sparse-group pack; only buf[:used] crosses the link
-                return pack_chunk_v3(q, EXC_CAP), q
+                # v3 (sort-based producer — the scatter pack measured
+                # 0.7 s/chunk on device, 4x the solve; wire.py); only
+                # buf[:used] crosses the link
+                return pack_chunk_v3_sorted(q, EXC_CAP), q
 
             fn = jax.jit(pack_step)
         else:
@@ -273,7 +287,7 @@ class DeviceExecutor:
                 # per-shard used PREFIXES instead of the fixed v2 layout
                 # (round-3 verdict item 3: the multi-dev path paid ~2.6x
                 # the single-dev D2H bytes)
-                buf, used = pack_chunk_v3(q, EXC_CAP)
+                buf, used = pack_chunk_v3_sorted(q, EXC_CAP)
                 return buf, used.reshape(1), q
 
             in_spec = tuple(P("pairs") for _ in range(n_slabs))
@@ -320,6 +334,12 @@ class DeviceExecutor:
         n = frames.shape[0]
         if n - self.astep <= 0:
             return frames
+        if self.width > self.w_real:
+            # edge-replicate the padded columns: the solver sees a flat
+            # extension, so real-region flow matches the exact-W solve
+            # away from the right border
+            pad = np.repeat(frames[:, :, -1:], self.width - self.w_real, axis=2)
+            frames = np.concatenate([frames, pad], axis=2)
         n_pad = self._padded_len(n)
         if n_pad > n:
             pad = np.repeat(frames[-1:], n_pad - n, axis=0)
@@ -479,28 +499,14 @@ class DeviceExecutor:
                     WIRE_STATS.add_d2h(q.nbytes)
                 q = q[:m]
             if self.save_type == "h5":
-                yield q, 0, m
+                # disk datasets are float32 regardless of wire precision
+                # (reference src/common.cpp:120-150)
+                yield np.asarray(q[:, :, : self.w_real], np.float32), 0, m
             elif self.save_type == "jpg":
+                q = q[..., : self.w_real]
                 yield (q[:, 0], q[:, 1]), 0, m
             else:
-                yield np.moveaxis(q, 1, -1), 0, m
-
-    def _unpack_shards(self, buf: np.ndarray, mb: int):
-        """Decode the chunk's wire buffer: one segment per device shard
-        (shard r packed pairs [r*m_loc, (r+1)*m_loc) into its own section)."""
-        c, h, w = self.n_chan, self.height, self.width
-        if self.n_dev == 1:
-            return unpack_chunk_fast(buf, mb, c, h, w, EXC_CAP)
-        m_loc = mb // self.n_dev
-        seg = buf.size // self.n_dev
-        flags, qs = [], []
-        for r in range(self.n_dev):
-            f, q = unpack_chunk_fast(
-                buf[r * seg : (r + 1) * seg], m_loc, c, h, w, EXC_CAP
-            )
-            flags.append(f)
-            qs.append(q)
-        return np.concatenate(flags), np.concatenate(qs)
+                yield np.moveaxis(q[..., : self.w_real], 1, -1), 0, m
 
     def iter_chunk(self, frames, n_frames: int):
         """dispatch_chunk + collect_chunk in one call (single-chunk use)."""
@@ -513,11 +519,11 @@ class DeviceExecutor:
         outs = [p for p, _, _ in self.iter_chunk(frames, n_frames)]
         if not outs:
             if self.save_type == "jpg":
-                e = np.empty((0, self.height, self.width), np.uint8)
+                e = np.empty((0, self.height, self.w_real), np.uint8)
                 return e, e
             if self.save_type == "png":
-                return np.empty((0, self.height, self.width, 3), np.uint8)
-            return np.empty((0, self.height, self.width, 2), np.float32)
+                return np.empty((0, self.height, self.w_real, 3), np.uint8)
+            return np.empty((0, self.height, self.w_real, 2), np.float32)
         if isinstance(outs[0], tuple):
             xs = np.concatenate([o[0] for o in outs], axis=0)
             ys = np.concatenate([o[1] for o in outs], axis=0)
@@ -550,10 +556,13 @@ def get_executor(
     n_devices: int = 0,
     wire_pack: bool = True,
     max_disp: int = 0,
+    h5_f16: bool = False,
+    width_bucket: int = 0,
 ) -> DeviceExecutor:
     key = (
         algorithm, height, width, step, bound, save_type, pair_batch,
-        chunk_capacity, preset, n_devices, wire_pack, max_disp,
+        chunk_capacity, preset, n_devices, wire_pack, max_disp, h5_f16,
+        width_bucket,
     )
     with _executor_lock:
         return _get_executor_locked(*key)

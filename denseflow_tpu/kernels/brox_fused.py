@@ -58,7 +58,7 @@ _D5 = [1.0 / 12.0, -8.0 / 12.0, 0.0, 8.0 / 12.0, -1.0 / 12.0]
 def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
                  inner_iterations: int, outer_iterations: int,
                  solver_iterations: int, max_disp: float, stop_eps: float,
-                 interpret: bool):
+                 inner_stop: bool, interpret: bool):
     ops = make_plane_ops(h, w, hp, wp, interpret)
 
     def dx(p):
@@ -173,6 +173,8 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
                 # inner fixed-point stop: a step whose increment change
                 # fell below the RMS threshold has converged this outer's
                 # linearization (mirrors algorithms/brox.py)
+                if not inner_stop:
+                    return state[0] + 1, jnp.bool_(False), du, dv
                 err_i = jnp.sum(
                     jnp.where(
                         real, (du - du0) ** 2 + (dv - dv0) ** 2, 0.0
@@ -225,7 +227,8 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
     jax.jit,
     static_argnames=(
         "alpha", "gamma", "inner_iterations", "outer_iterations",
-        "solver_iterations", "max_disp", "stop_eps", "interpret",
+        "solver_iterations", "max_disp", "stop_eps", "inner_stop",
+        "interpret",
     ),
 )
 def brox_scale_fused(
@@ -241,6 +244,7 @@ def brox_scale_fused(
     solver_iterations: int,
     max_disp: float,
     stop_eps: float = 0.0,
+    inner_stop: bool = True,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run up to outer x inner x solver iterations of one pyramid level.
@@ -272,7 +276,8 @@ def brox_scale_fused(
                 inner_iterations=inner_iterations,
                 outer_iterations=outer_iterations,
                 solver_iterations=solver_iterations,
-                max_disp=max_disp, stop_eps=stop_eps, interpret=interpret,
+                max_disp=max_disp, stop_eps=stop_eps,
+                inner_stop=inner_stop, interpret=interpret,
             )
 
         uo, vo = jax.lax.map(one_slab, stacked)
@@ -286,7 +291,7 @@ def brox_scale_fused(
     kernel = _make_kernel(
         h, w, hp, wp, float(alpha), float(gamma), int(inner_iterations),
         int(outer_iterations), int(solver_iterations), float(max_disp),
-        float(stop_eps), bool(interpret),
+        float(stop_eps), bool(inner_stop), bool(interpret),
     )
     plane = jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)
     spec = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -180,7 +180,8 @@ class Pipeline:
                         cfg.algorithm, h, w, cfg.step, cfg.bound,
                         cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
                         cfg.preset, cfg.devices, cfg.wire_pack,
-                        cfg.max_disp,
+                        cfg.max_disp, cfg.h5_dtype == "f16",
+                        cfg.width_bucket,
                     )
                     frames = ex.upload_chunk(frames)
                 except Exception as e:
@@ -278,6 +279,8 @@ class Pipeline:
                         cfg.devices,
                         cfg.wire_pack,
                         cfg.max_disp,
+                        cfg.h5_dtype == "f16",
+                        cfg.width_bucket,
                     )
                     with self.timers.track("compute"):
                         outs = ex.dispatch_chunk(item.frames, item.n_frames)

@@ -366,6 +366,133 @@ def pack_chunk_v3(
     return buf, used.astype(jnp.int32)
 
 
+def pack_chunk_v3_sorted(
+    q: jnp.ndarray, exc_cap: int = EXC_CAP
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`pack_chunk_v3` with SORT-based stream compaction — identical wire
+    bytes, different producer.
+
+    The original pack compacts occupied group bytes and exception entries
+    with `.at[].set` scatters whose update counts are the full delta space
+    (~22M positions per 128-pair chunk at 256p); XLA lowers TPU scatters
+    near-serially, measured ~0.7 s per chunk — 4x the solve itself. Here
+    compaction is two stable key sorts (occupied-first / valid-first, flat
+    position as tiebreak), which TPU runs as parallel sorting networks,
+    plus one traced-offset dynamic_update_slice to butt the exception
+    region against the codes prefix. Output is byte-identical (the same
+    pair-major order the decoder expects)."""
+    m, _, _, w = q.shape
+    rows, n, gw, ng, bw = _v3_geom(*q.shape[1:])
+    fixed = v3_fixed_size(m, *q.shape[1:])
+    if n <= 0:  # single-column payload: seeds only
+        buf = jnp.concatenate(
+            [
+                jnp.ones((m,), jnp.uint8),
+                jnp.zeros((2 * m,), jnp.uint8),
+                q[..., :1].reshape(-1),
+            ]
+        )
+        return buf, jnp.asarray(buf.size, jnp.int32)
+
+    qi = q.astype(jnp.int32)
+    d = (qi[..., 1:] - qi[..., :-1]) & 0xFF
+    code = jnp.where(
+        d == 0, 0, jnp.where(d == 1, 1, jnp.where(d == 255, 2, 3))
+    )
+    pad = 4 * gw - n
+    if pad:
+        code = jnp.concatenate(
+            [code, jnp.zeros(code.shape[:-1] + (pad,), jnp.int32)], axis=-1
+        )
+    c4 = code.reshape(m, ng, 4)
+    gbyte = (
+        c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4) | (c4[..., 3] << 6)
+    )
+    gnz = gbyte != 0
+
+    bpad = 8 * bw - ng
+    bits = gnz
+    if bpad:
+        bits = jnp.concatenate([bits, jnp.zeros((m, bpad), bool)], axis=-1)
+    b8 = bits.reshape(m, bw, 8).astype(jnp.int32)
+    bitmap = jnp.sum(b8 << jnp.arange(8, dtype=jnp.int32), axis=-1).astype(
+        jnp.uint8
+    )
+
+    esc = (code == 3).reshape(m, -1)
+    exc_cnt = jnp.sum(esc, axis=-1)
+    ok = exc_cnt <= exc_cap
+    emit = esc & ok[:, None]
+
+    total = m * ng
+    # codes compaction: occupied groups first, in pair-major flat order
+    gnz_flat = gnz.reshape(-1)
+    pos = jnp.arange(total, dtype=jnp.uint32)
+    ckey = jnp.where(gnz_flat, pos, pos + jnp.uint32(total))
+    _, codes_sorted = jax.lax.sort_key_val(
+        ckey, gbyte.reshape(-1).astype(jnp.uint8)
+    )
+    total_nz = jnp.sum(gnz_flat)
+
+    # exception compaction: pack each entry (3-byte flat delta index +
+    # value byte) into one u32 and sort emitted entries first
+    gcol = jnp.arange(4 * gw)
+    grow = jnp.arange(rows)
+    flat_idx = (
+        grow[:, None] * n + jnp.minimum(gcol, n - 1)[None, :]
+    ).reshape(-1)
+    flat_idx = jnp.broadcast_to(
+        flat_idx[None, :], (m, rows * 4 * gw)
+    ).reshape(-1).astype(jnp.uint32)
+    dpad = (
+        jnp.concatenate(
+            [d.reshape(m, rows, n), jnp.zeros((m, rows, pad), jnp.int32)],
+            axis=-1,
+        )
+        if pad
+        else d.reshape(m, rows, n)
+    )
+    vals = dpad.reshape(-1).astype(jnp.uint32)
+    entry = flat_idx | ((vals & 0xFF) << 24)
+    em_flat = emit.reshape(-1)
+    npos = jnp.arange(em_flat.size, dtype=jnp.uint32)
+    ekey = jnp.where(em_flat, npos, npos + jnp.uint32(em_flat.size))
+    _, entries_sorted = jax.lax.sort_key_val(ekey, entry)
+    total_exc = jnp.sum(em_flat)
+    exc_max = m * exc_cap
+    e = entries_sorted[:exc_max]
+    exc_bytes = jnp.stack(
+        [
+            (e & 0xFF).astype(jnp.uint8),
+            ((e >> 8) & 0xFF).astype(jnp.uint8),
+            ((e >> 16) & 0xFF).astype(jnp.uint8),
+            ((e >> 24) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    ).reshape(-1)
+
+    max_var = total + 4 * exc_max
+    var = jnp.zeros((max_var,), jnp.uint8)
+    var = jax.lax.dynamic_update_slice(var, codes_sorted, (0,))
+    # butt the exception block against the codes prefix; bytes past
+    # 4*total_exc inside it are stale but lie beyond used
+    var = jax.lax.dynamic_update_slice(var, exc_bytes, (total_nz,))
+
+    n_exc_emit = jnp.where(ok, exc_cnt, 0).astype(jnp.uint32)
+    buf = jnp.concatenate(
+        [
+            ok.astype(jnp.uint8),
+            (n_exc_emit & 0xFF).astype(jnp.uint8),
+            ((n_exc_emit >> 8) & 0xFF).astype(jnp.uint8),
+            q[..., :1].reshape(-1),
+            bitmap.reshape(-1),
+            var,
+        ]
+    )
+    used = fixed + total_nz + 4 * total_exc
+    return buf, used.astype(jnp.int32)
+
+
 def unpack_chunk_v3(
     buf: np.ndarray, m: int, c: int, h: int, w: int, exc_cap: int = EXC_CAP
 ) -> Tuple[np.ndarray, np.ndarray]:

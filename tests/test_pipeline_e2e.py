@@ -148,6 +148,34 @@ class TestSaveTypes:
             assert fx_data.dtype == np.float32
             assert abs(fx_data[16:-16, 16:-16].mean() - fx) < 0.3
 
+    def test_h5_f16_wire(self, vid, tmp_path):
+        """--h5Dtype=f16 halves the device-link bytes; disk datasets stay
+        float32 and within f16 rounding of the exact run (round-3 verdict
+        item 6: raw float32 was the worst-cased payload on a remote
+        link)."""
+        h5py = pytest.importorskip("h5py")
+        path, _ = vid
+        from denseflow_tpu.executor import WIRE_STATS
+
+        def run(out, dtype):
+            WIRE_STATS.reset()
+            assert main(
+                [path, f"-o={out}", "-s=1", "-st=h5", "--pairBatch=4",
+                 f"--h5Dtype={dtype}"]
+            ) == 0
+            with h5py.File(out / "v.h5") as f:
+                assert f["flow_x_00004"].dtype == np.float32
+                return f["flow_x_00004"][:], WIRE_STATS.snapshot()
+
+        exact, s32 = run(tmp_path / "o32", "f32")
+        half, s16 = run(tmp_path / "o16", "f16")
+        assert s16["d2h_bytes"] * 2 == s32["d2h_bytes"]
+        # f16 has ~3 decimal digits; flow values are O(1)
+        assert np.abs(exact - half).max() < 2e-2
+
+    def test_h5_dtype_validation(self):
+        assert main(["x.avi", "-st=h5", "--h5Dtype=f64"]) == 1
+
 
 class TestListModeAndResume:
     def _setup_list(self, tmp_path, n=2):
