@@ -178,6 +178,9 @@ class DeviceExecutor:
         self.astep = abs(step)
         # largest pair bucket (chunk_capacity is the max pairs per chunk)
         self.max_pairs = self._bucket(max(chunk_capacity, self.B))
+        # the solver's effective displacement clamp (for the saturation
+        # signal that drives auto-escalation — pipeline.py)
+        self.max_disp_eff = max_disp if max_disp > 0 else 40
         self._solver = make_solver(algorithm, height, width, preset, max_disp)
         self._off_a = 0 if step > 0 else self.astep
         self._off_b = step if step > 0 else 0
@@ -207,7 +210,7 @@ class DeviceExecutor:
                     slab_local,
                     mesh=self._mesh,
                     in_specs=(P(), P()),
-                    out_specs=P("pairs"),
+                    out_specs=(P("pairs"), P("pairs")),
                     check_vma=False,
                 )
             )
@@ -228,7 +231,13 @@ class DeviceExecutor:
     # ---------------- compiled chunk step ----------------
     def _solve_q(self, frames: jnp.ndarray, s, n_pairs: int):
         """Solve pairs [s, s+n_pairs) of the resident (N, H, W) chunk into
-        the save_type's device payload: (n, 2|3, H, W) uint8 or flow f32."""
+        (payload, sat): the save_type's device payload ((n, 2|3, H, W)
+        uint8 or flow float) plus a per-pair CLAMP-SATURATION fraction —
+        the share of pixels whose flow sits at the masked-shift warp's
+        displacement clamp. Near-free (one compare + reduction) and the
+        signal behind auto-escalation (the reference's CUDA warp is
+        unclamped, src/denseflow_gpu.cpp:327; saturation means motion the
+        clamp is hiding)."""
         h, w = self.height, self.width
         I0 = jax.lax.dynamic_slice(
             frames, (s + self._off_a, 0, 0), (n_pairs, h, w)
@@ -237,14 +246,19 @@ class DeviceExecutor:
             frames, (s + self._off_b, 0, 0), (n_pairs, h, w)
         )
         flow = self._solver(I0, I1)
+        thresh = jnp.float32(0.98 * self.max_disp_eff)
+        sat = jnp.mean(
+            (jnp.max(jnp.abs(flow), axis=-1) >= thresh).astype(jnp.float32),
+            axis=(-2, -1),
+        )
         if self.save_type == "h5":
             if self.h5_f16:
-                return flow.astype(jnp.float16)
-            return flow  # raw float32 (n, H, W, 2)
+                return flow.astype(jnp.float16), sat
+            return flow, sat  # raw float32 (n, H, W, 2)
         if self.save_type == "jpg":
             qx, qy = quantize_flow_pair(flow, self.bound)
-            return jnp.stack([qx, qy], axis=1)  # (n, 2, H, W)
-        return jnp.moveaxis(quantize_flow_png(flow), -1, 1)  # (n, 3, H, W)
+            return jnp.stack([qx, qy], axis=1), sat  # (n, 2, H, W)
+        return jnp.moveaxis(quantize_flow_png(flow), -1, 1), sat
 
     def _get_pack(self, n_slabs: int):
         """Jitted chunk assembly for n_slabs solved slabs: concatenate and
@@ -367,9 +381,11 @@ class DeviceExecutor:
             frames = self.upload_chunk(frames)
         mb = frames.shape[0] - self.astep
         n_slabs = mb // self.B
-        slabs = tuple(
-            self._slab(frames, s) for s in range(0, mb, self.B)
-        )
+        pairs = tuple(self._slab(frames, s) for s in range(0, mb, self.B))
+        slabs = tuple(p for p, _ in pairs)
+        sats = tuple(sa for _, sa in pairs)
+        for sa in sats:
+            sa.copy_to_host_async()
         out = self._get_pack(n_slabs)(slabs)
         if self.wire_pack:
             if self.n_dev == 1:
@@ -382,7 +398,7 @@ class DeviceExecutor:
                 pred = _quantize_up(self._predict_used(mb), total)
                 pref = buf if pred >= total else _prefix_fn(pred)(buf)
                 pref.copy_to_host_async()
-                return [(((buf, used, pref, pred), q), m, mb)]
+                return [(((buf, used, pref, pred), q), m, mb, sats)]
             # multi-device v3: per-shard predicted-prefix transfers (each
             # shard's buffer lives on its own chip; slicing the shard data
             # directly keeps the transfer chip-local)
@@ -397,10 +413,10 @@ class DeviceExecutor:
                 pref = sd if pred >= total else _prefix_fn(pred)(sd)
                 pref.copy_to_host_async()
                 prefs.append(pref)
-            return [(((shards, used, prefs, pred), q), m, mb)]
+            return [(((shards, used, prefs, pred), q), m, mb, sats)]
         else:
             out.copy_to_host_async()
-        return [(out, m, mb)]
+        return [(out, m, mb, sats)]
 
     @staticmethod
     def _shard_data(arr) -> list:
@@ -436,7 +452,7 @@ class DeviceExecutor:
         """Yield (payload, pair_offset, n_pairs) per dispatched chunk.
         jpg -> (imgs_x, imgs_y) uint8 (m, H, W); png -> (m, H, W, 3) uint8;
         h5 -> (m, H, W, 2) float32."""
-        for out, m, mb in outs:
+        for out, m, mb, _sats in outs:
             n_slabs = mb // self.B
             if not self.wire_pack:
                 arr = np.asarray(out)
@@ -507,6 +523,16 @@ class DeviceExecutor:
                 yield (q[:, 0], q[:, 1]), 0, m
             else:
                 yield np.moveaxis(q[..., : self.w_real], 1, -1), 0, m
+
+    def saturation_frac(self, outs: list) -> float:
+        """Max per-pair clamp-saturation fraction across a dispatched
+        chunk (see _solve_q). The pipeline re-dispatches a chunk through
+        an escalated-clamp executor when this crosses its threshold."""
+        worst = 0.0
+        for _, _, _, sats in outs:
+            for sa in sats:
+                worst = max(worst, float(np.max(np.asarray(sa))))
+        return worst
 
     def iter_chunk(self, frames, n_frames: int):
         """dispatch_chunk + collect_chunk in one call (single-chunk use)."""

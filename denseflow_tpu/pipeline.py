@@ -220,6 +220,41 @@ class Pipeline:
     # see wire.py); more would only add latency and HBM residency.
     INFLIGHT_CHUNKS = 2
 
+    # Auto-escalation of the displacement clamp (round-3 verdict item 8):
+    # when this fraction of a chunk's pixels sits AT the clamp, the warp is
+    # hiding motion and the chunk re-solves with a doubled clamp. The png
+    # path advertises bounds up to 1020 (reference src/common.cpp:24).
+    SAT_THRESHOLD = 0.01
+    MAX_AUTO_DISP = 1020
+
+    def _escalate_if_saturated(self, item: "_ChunkItem", ex, outs):
+        """Re-dispatch a clamp-saturated chunk through executors with
+        doubled max_disp until the saturation signal clears (or the cap).
+        Active only when the user left --maxDisp unset — an explicit clamp
+        is taken as intent. Small-motion content never saturates, so the
+        default path costs one near-free reduction per chunk."""
+        cfg = self.cfg
+        if cfg.max_disp != 0:
+            return ex, outs
+        disp = ex.max_disp_eff
+        while (
+            disp < self.MAX_AUTO_DISP
+            and ex.saturation_frac(outs) > self.SAT_THRESHOLD
+        ):
+            disp = min(2 * disp, self.MAX_AUTO_DISP)
+            self.log(
+                f"clamp saturation on {item.output_dir}: re-solving chunk "
+                f"at maxDisp={disp}"
+            )
+            ex = get_executor(
+                cfg.algorithm, item.height, item.width, cfg.step,
+                cfg.bound, cfg.save_type, cfg.pair_batch, cfg.chunk_frames,
+                cfg.preset, cfg.devices, cfg.wire_pack, disp,
+                cfg.h5_dtype == "f16", cfg.width_bucket,
+            )
+            outs = ex.dispatch_chunk(item.frames, item.n_frames)
+        return ex, outs
+
     def _collect_chunk(self, entry) -> None:
         """Drain one dispatched chunk into the flows queue (in order)."""
         cfg = self.cfg
@@ -228,6 +263,7 @@ class Pipeline:
         try:
             pushed = 0
             with self.timers.track("compute"):
+                ex, outs = self._escalate_if_saturated(item, ex, outs)
                 for payload, off, n in ex.collect_chunk(outs):
                     self.counters.add_flows(n)
                     pushed += n

@@ -87,6 +87,59 @@ class TestLargeMotion360p:
             parse_args(["v.avi", "--maxDisp=-1", "-s=1"]).validate()
 
 
+class TestAutoEscalation:
+    """Round-3 verdict item 8: clamp saturation at the default maxDisp
+    must auto-escalate the clamp — large motion tracks WITHOUT the user
+    knowing about --maxDisp, and small-motion content never re-solves."""
+
+    @pytest.mark.slow
+    def test_pipeline_escalates_and_tracks(self, tmp_path, capsys):
+        import cv2
+        import scipy.ndimage as ndi
+
+        from denseflow_tpu.cli import main
+
+        h, w, dx, n = 180, 240, 48, 4  # dx beyond the 40 px default clamp
+        rng = np.random.default_rng(5)
+        pad = dx * n + 16
+        base = ndi.gaussian_filter(rng.uniform(0, 255, (h + 8, w + pad)), 20)
+        base = (base - base.min()) / (np.ptp(base) + 1e-9) * 255
+        path = str(tmp_path / "fast.avi")
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h)
+        )
+        for t in range(n):
+            fr = base[4 : 4 + h, 8 + dx * t : 8 + dx * t + w].astype(np.uint8)
+            vw.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+        vw.release()
+        out = tmp_path / "out"
+        assert main([path, f"-o={out}", "-s=1", "-b=56", "-v"]) == 0
+        assert "re-solving chunk at maxDisp=80" in capsys.readouterr().out
+        import cv2 as _cv2
+
+        xs = [
+            _cv2.imread(
+                str(out / "fast" / f"flow_x_{i:05d}.jpg"),
+                _cv2.IMREAD_GRAYSCALE,
+            )[40:-40, 40:-40].mean()
+            for i in range(n - 1)
+        ]
+        # content scrolls +dx => flow == -48; CAST(-48, -56, 56) ~= 18.2.
+        # An unescalated (clamped-at-40) solve lands near 36.4 instead.
+        assert abs(float(np.mean(xs)) - 18.2) < 6.0, np.mean(xs)
+
+    def test_small_motion_never_escalates(self, tmp_path, capsys):
+        from conftest import make_translating_video
+
+        from denseflow_tpu.cli import main
+
+        path, _ = make_translating_video(
+            tmp_path / "slow.avi", h=48, w=64, n=5, dx=1
+        )
+        assert main([path, f"-o={tmp_path/'out'}", "-s=1", "-v"]) == 0
+        assert "re-solving" not in capsys.readouterr().out
+
+
 class TestTiledNearClampMotion:
     def test_tiled_matches_untiled_near_clamp(self):
         """Flow near ±max_disp at a tile seam: warp taps reach max_disp +
