@@ -73,6 +73,15 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 TILE_HALO = 40 + _SUPPORT
 
 
+# Empirical per-plane ceiling: the largest padded plane the fused kernels
+# are VALIDATED to hold at full grid depth on real hardware (the 256x384
+# bench geometry). The planes x plane_bytes model alone under-estimates
+# Mosaic's true stack usage — measured: 240x512 (0.49 MB planes, 20-plane
+# model says 9.8 MB) OOMs the 16 MB scoped limit at 16.84 MB, while
+# 256x384 (0.375 MB) fits. Planes beyond this ceiling take the tiled path.
+_MAX_PLANE_PX = 256 * 384
+
+
 def fits_vmem(
     h: int, w: int, budget_bytes: int = _VMEM_BUDGET, planes: int = _PLANES
 ) -> bool:
@@ -81,7 +90,10 @@ def fits_vmem(
     Brox kernel passes its own.)"""
     w_pad = ((w + 127) // 128) * 128
     h_pad = ((h + 7) // 8) * 8
-    return planes * h_pad * w_pad * 4 <= budget_bytes
+    return (
+        planes * h_pad * w_pad * 4 <= budget_bytes
+        and h_pad * w_pad <= _MAX_PLANE_PX
+    )
 
 
 def _axis_starts(n: int, tile: int, halo: int) -> list:
@@ -114,7 +126,10 @@ def plan_tiles(h: int, w: int, halo: int = TILE_HALO,
     best = None
     tw = wp
     while tw >= 128:
-        th_max = budget_bytes // (planes * 4 * tw) // 8 * 8
+        th_max = (
+            min(budget_bytes // (planes * 4 * tw), _MAX_PLANE_PX // tw)
+            // 8 * 8
+        )
         th = min(hp, th_max)
         ok_h = th >= hp or th > 2 * halo + 8
         ok_w = tw >= wp or tw > 2 * halo + 8
