@@ -27,10 +27,12 @@ def _make_videos(tmp):
     import numpy as np
     import scipy.ndimage as ndi
 
-    # source (h, w) per video: 5 distinct aspect ratios, repeated to 8
+    # source (h, w) per video: 5 distinct aspect ratios, all min-side
+    # > 256 so -ns=256 resizes every video to height 256 (the UCF-101
+    # shape class); widths land at 341/384/455/320/427
     shapes = [
-        (240, 320), (256, 384), (240, 400), (270, 480), (320, 400),
-        (240, 320), (270, 480), (256, 384),
+        (360, 480), (360, 540), (360, 640), (360, 450), (360, 600),
+        (480, 640), (432, 768), (288, 384),
     ]
     rng = np.random.default_rng(0)
     paths = []
@@ -60,7 +62,8 @@ def main() -> None:
     from denseflow_tpu.cli import main as cli_main
 
     results = {}
-    for bucket in (64, 0):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    for bucket in (128, 0):
         cache = tempfile.mkdtemp(prefix=f"dfcache_b{bucket}_")
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.clear_caches()
@@ -80,7 +83,7 @@ def main() -> None:
             f"widthBucket={bucket}: first run {cold:7.1f}s  warm {warm:6.1f}s"
             f"  cache entries {entries}"
         )
-    b, e = results[64], results[0]
+    b, e = results[128], results[0]
     print(
         f"bucketing: {e[0]/b[0]:.1f}x faster cold, cache entries "
         f"{e[2]} -> {b[2]}"
