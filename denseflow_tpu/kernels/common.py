@@ -168,15 +168,14 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
         z = tuple(jnp.zeros(shape, jnp.float32) for _ in planes)
         return jax.lax.fori_loop(k_lo, k_hi + 1, body, z)
 
-    class Ops:
-        pass
+    from types import SimpleNamespace
 
-    ops = Ops()
-    ops.row_i = row_i
-    ops.col_i = col_i
-    ops.real = real
-    ops.shift = shift
-    ops.conv_taps = conv_taps
-    ops.box_sum = box_sum
-    ops.resample = resample
-    return ops
+    return SimpleNamespace(
+        row_i=row_i,
+        col_i=col_i,
+        real=real,
+        shift=shift,
+        conv_taps=conv_taps,
+        box_sum=box_sum,
+        resample=resample,
+    )

@@ -224,7 +224,7 @@ def farneback_level_fused(
         float(stop_eps), bool(interpret),
     )
     plane = jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)
-    spec_r = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; DMA'd in-kernel
+    spec_r = pl.BlockSpec(memory_space=pl.ANY)  # HBM; DMA'd in-kernel
     spec_f = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     per_iter = 2 * win_size * 5 + 60 + 40  # blur taps + update + solve
     u_o, v_o = pl.pallas_call(
