@@ -440,16 +440,17 @@ def pack_chunk_v3_sorted(
     )
     total_nz = jnp.sum(gnz_flat)
 
-    # exception compaction: pack each entry (3-byte flat delta index +
-    # value byte) into one u32 and sort emitted entries first
-    gcol = jnp.arange(4 * gw)
-    grow = jnp.arange(rows)
-    flat_idx = (
-        grow[:, None] * n + jnp.minimum(gcol, n - 1)[None, :]
-    ).reshape(-1)
-    flat_idx = jnp.broadcast_to(
-        flat_idx[None, :], (m, rows * 4 * gw)
-    ).reshape(-1).astype(jnp.uint32)
+    # exception compaction by RANK-SELECT, no sort over the delta space
+    # (a 22M-entry key/value sort measured ~84 ms per 128-pair chunk on a
+    # v5e — most of the pack): per-GROUP escape counts cumsum into a
+    # pair-major rank table, and each output slot j binary-searches the
+    # group containing the j-th escape, resolves its in-group position
+    # from the 4 code flags, and gathers the delta value directly.
+    esc4 = (c4 == 3) & ok[:, None, None]  # overflowed pairs emit none
+    gcnt = jnp.sum(esc4, axis=-1)
+    gcum = jnp.cumsum(gcnt.reshape(-1))  # (m*ng,), pair-major
+    total_exc = gcum[-1]
+    exc_max = m * exc_cap
     dpad = (
         jnp.concatenate(
             [d.reshape(m, rows, n), jnp.zeros((m, rows, pad), jnp.int32)],
@@ -458,15 +459,31 @@ def pack_chunk_v3_sorted(
         if pad
         else d.reshape(m, rows, n)
     )
-    vals = dpad.reshape(-1).astype(jnp.uint32)
-    entry = flat_idx | ((vals & 0xFF) << 24)
-    em_flat = emit.reshape(-1)
-    npos = jnp.arange(em_flat.size, dtype=jnp.uint32)
-    ekey = jnp.where(em_flat, npos, npos + jnp.uint32(em_flat.size))
-    _, entries_sorted = jax.lax.sort_key_val(ekey, entry)
-    total_exc = jnp.sum(em_flat)
-    exc_max = m * exc_cap
-    e = entries_sorted[:exc_max]
+    dflat = dpad.reshape(-1)
+
+    j = jnp.arange(exc_max, dtype=jnp.int32)
+    # method='sort' (one combined sort) measured 2.3x faster than the
+    # default binary-search scan for this size on a v5e
+    gidx = jnp.clip(
+        jnp.searchsorted(gcum, j, side="right", method="sort"),
+        0, m * ng - 1,
+    )
+    prev = jnp.where(gidx > 0, gcum[jnp.maximum(gidx - 1, 0)], 0)
+    rank = j - prev  # 0..3 within the group (garbage past total_exc)
+    eg = esc4.reshape(-1, 4)[gidx]  # (exc_max, 4)
+    excl = jnp.cumsum(eg, axis=-1) - eg.astype(jnp.int32)
+    k = jnp.argmax(
+        eg & (excl == jnp.clip(rank, 0, 3)[:, None]), axis=-1
+    )
+    pair_i = gidx // ng
+    gg = gidx % ng
+    grow = gg // gw
+    colp = (gg % gw) * 4 + k  # padded-space column
+    flat_idx = (grow * n + jnp.minimum(colp, n - 1)).astype(jnp.uint32)
+    vals = dflat[
+        pair_i * (rows * 4 * gw) + grow * (4 * gw) + colp
+    ].astype(jnp.uint32)
+    e = flat_idx | ((vals & 0xFF) << 24)
     exc_bytes = jnp.stack(
         [
             (e & 0xFF).astype(jnp.uint8),
