@@ -425,12 +425,17 @@ class DeviceExecutor:
         shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
         return [s.data for s in shards]
 
-    # Fraction of the codes region assumed occupied when no chunk of this
-    # geometry has been measured yet (measured solver output runs ~7-35%).
-    _BPP_INIT_OCCUPANCY = 0.4
+    # Bytes/pair assumed (as a multiple of the per-pair group count) when
+    # no chunk of this geometry has been measured yet. Deliberately
+    # GENEROUS (1.6x the codes region): decoded-video content measured
+    # ~1.6 bytes/group once the 4-byte exception entries are counted, and
+    # an under-prediction puts a tail-fetch round-trip on the FIRST
+    # chunk's critical path every run; over-prediction costs only extra
+    # prefix bytes on that one chunk before _note_used tightens it.
+    _BPP_INIT_OCCUPANCY = 1.6
     # Headroom over the last measured bytes/pair: under-prediction costs a
     # second (tail) transfer round-trip, over-prediction only extra bytes.
-    _BPP_MARGIN = 1.2
+    _BPP_MARGIN = 1.1
 
     def _predict_used(self, mb: int) -> int:
         from denseflow_tpu.wire import _v3_geom, v3_fixed_size

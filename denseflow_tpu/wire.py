@@ -428,7 +428,6 @@ def pack_chunk_v3_sorted(
     esc = (code == 3).reshape(m, -1)
     exc_cnt = jnp.sum(esc, axis=-1)
     ok = exc_cnt <= exc_cap
-    emit = esc & ok[:, None]
 
     total = m * ng
     # codes compaction: occupied groups first, in pair-major flat order
