@@ -157,10 +157,17 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
             t = coords + kf
             lo_band = t < 0.0
             hi_band = t > float(n - 1)
+            # (-k) % extent, NEVER a possibly-negative traced shift:
+            # pltpu.roll MISCOMPILES negative traced shifts on planes
+            # spanning more than one tile along the axis (hardware-
+            # verified round 4: all negative shifts wrong at 96 sublanes /
+            # 384 lanes, correct at 16/128; invisible at zero displacement
+            # because the wrong taps get zero kernel weight)
+            np_ax = hp if axis == 0 else wp
             new = []
             for p, o in zip(planes, outs):
                 e_lo, e_hi = _edges(p, axis)
-                s = roll(p, -k, axis)
+                s = roll(p, (-k) % np_ax, axis)
                 tapped = jnp.where(lo_band, e_lo, jnp.where(hi_band, e_hi, s))
                 new.append(o + c * tapped)
             return tuple(new)

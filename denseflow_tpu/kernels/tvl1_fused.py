@@ -211,7 +211,12 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
             hi_band = t > float(n - 1)
 
             def tap(p, e_lo, e_hi):
-                s = roll(p, -k, axis)
+                # (-k) % extent, NEVER a possibly-negative traced shift:
+                # pltpu.roll miscompiles negative traced shifts on planes
+                # spanning more than one tile along the axis (hardware-
+                # verified round 4; zero-weight taps masked it on
+                # negative-displacement content)
+                s = roll(p, (-k) % (hp if axis == 0 else wp), axis)
                 return jnp.where(lo_band, e_lo, jnp.where(hi_band, e_hi, s))
 
             oa = oa + c * tap(pa, ea_lo, ea_hi)
