@@ -107,15 +107,55 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
             out = term if out is None else out + term
         return out
 
-    def box_sum(p, win: int, axis: int):
+    def box_sum(p, win: int, axis: int, zero_pad: bool = False):
         """sum of shift(p, k, axis) for k in [-(win//2), win//2], replicate
         borders at the real extent — as a fori_loop with a TRACED shift so
-        only one tap plane is ever live (vs `conv_taps`' win planes)."""
+        only one tap plane is ever live (vs `conv_taps`' win planes).
+
+        zero_pad=True allows a padded band of >= win//2 along the summed
+        axis to be ZEROED and used as scratch: the sum switches to
+        cascaded-doubling circular partial sums — ceil(log2(win))+~2
+        static rolls instead of `win` traced rolls+selects (the round-4
+        Farneback bottleneck: the 13-tap loop cost 2x13 rolls and 2x26
+        selects per plane per iteration). The band is masked to 0 here (p
+        itself may hold garbage there, e.g. resample's replicated edges),
+        circular wraps then land in the zeroed band by the pad
+        precondition, so the cascade equals the zero-padded window sum;
+        replicate-border semantics are restored by adding
+        count-of-clamped-taps * edge-value ramps (exact in exact
+        arithmetic; float association differs from the loop form by design
+        — callers compare against the XLA oracle, not bytes)."""
         n = h if axis == 0 else w
         np_ax = hp if axis == 0 else wp
         lo, hi = _edges(p, axis)
         t0 = row_i() if axis == 0 else col_i()
         ctr = win // 2
+
+        if zero_pad and np_ax - n >= ctr and win >= 4:
+            # circular windowed sum S[y] = sum_{j=0..win-1} p[(y+j) % np]
+            # by doubling, then recenter by ctr
+            sums = {1: jnp.where(t0 < n, p, 0.0)}
+            m = 1
+            while m * 2 <= win:
+                prev = sums[m]
+                sums[m * 2] = prev + roll(prev, (-m) % np_ax, axis)
+                m *= 2
+            total = None
+            off = 0
+            rem = win
+            while rem:
+                if rem >= m:
+                    part = sums[m]
+                    if off:
+                        part = roll(part, (-off) % np_ax, axis)
+                    total = part if total is None else total + part
+                    off += m
+                    rem -= m
+                m //= 2
+            s = roll(total, ctr % np_ax, axis)  # out[y] = S[y - ctr]
+            cnt_lo = jnp.maximum(0, ctr - t0).astype(jnp.float32)
+            cnt_hi = jnp.maximum(0, t0 + ctr - (n - 1)).astype(jnp.float32)
+            return s + cnt_lo * lo + cnt_hi * hi
 
         def body(j, acc):
             k = j - ctr

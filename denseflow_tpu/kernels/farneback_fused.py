@@ -53,11 +53,15 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, win_size: int,
     inv_win = 1.0 / win_size
 
     def blur(p):
-        # box_sum (fori_loop, one live tap plane) not conv_taps: the
-        # 13-tap window unrolled held ~13 planes live per axis and blew
-        # the scoped-VMEM limit (measured 23.4 MB vs 16 MB)
-        t = ops.box_sum(p, win_size, 0) * inv_win
-        return ops.box_sum(t, win_size, 1) * inv_win
+        # box_sum (fori_loop / cascade, one live tap plane) not conv_taps:
+        # the 13-tap window unrolled held ~13 planes live per axis and
+        # blew the scoped-VMEM limit (measured 23.4 MB vs 16 MB).
+        # zero_pad: the normal-eq planes are 0 in the padded band (R0/R1
+        # are zero-padded, the resample and flow keep it zero) and the
+        # caller pads each axis by >= win//2 extra, so both axes take the
+        # cascaded-doubling path (~7 rolls instead of 13 rolls+26 selects)
+        t = ops.box_sum(p, win_size, 0, zero_pad=True) * inv_win
+        return ops.box_sum(t, win_size, 1, zero_pad=True) * inv_win
 
     def border_scale():
         """Separable attenuation: both bands multiply (they overlap on
@@ -212,8 +216,11 @@ def farneback_level_fused(
         uo, vo = jax.lax.map(one_slab, stacked)
         return uo.reshape(-1, h, w)[:b], vo.reshape(-1, h, w)[:b]
 
-    hp = ((h + 7) // 8) * 8
-    wp = ((w + 127) // 128) * 128
+    # pad each axis by an extra win//2 so the cascaded box_sum's circular
+    # wraps land in the zeroed band (see kernels/common.box_sum zero_pad)
+    margin = int(win_size) // 2
+    hp = ((h + margin + 7) // 8) * 8
+    wp = ((w + margin + 127) // 128) * 128
     if (hp, wp) != (h, w):
         R0 = jnp.pad(R0, [(0, 0), (0, 0), (0, hp - h), (0, wp - w)])
         R1 = jnp.pad(R1, [(0, 0), (0, 0), (0, hp - h), (0, wp - w)])
