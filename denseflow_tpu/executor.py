@@ -52,7 +52,11 @@ from denseflow_tpu.quantize import quantize_flow_pair, quantize_flow_png
 from denseflow_tpu.wire import (
     EXC_CAP,
     pack_chunk_v3_sorted,
+    pack_chunk_v4,
     unpack_chunk_v3_fast,
+    unpack_chunk_v4,
+    v3_fixed_size,
+    v4_fixed_size,
 )
 
 # Prefix-transfer granularity: v3 transfer sizes are rounded up to this, so
@@ -167,6 +171,18 @@ class DeviceExecutor:
             and save_type in ("jpg", "png")
             and self.n_chan * height * max(width - 1, 0) < (1 << 24)
         )
+        # LOSSLESS f32 wire codec for the h5 path (wire.pack_chunk_v4,
+        # round-5): disk stays bit-exact float32 (reference
+        # src/common.cpp:120-150) while the link carries zigzag'd bit-space
+        # deltas with sparse-group byte planes (~1.16x on real solver
+        # output — entropy-bound content, see wire.py — 10x+ on smooth
+        # fields, never worse than 1.032x raw). Exact for ANY bit pattern,
+        # so no raw residual is kept on device and there is no fallback
+        # flag. f16 wire (lossy opt-in) stays a raw transfer: its payload
+        # is already half size and its low bytes are pure noise.
+        self.wire_f32 = (
+            bool(wire_pack) and save_type == "h5" and not self.h5_f16
+        )
         devs = jax.local_devices()
         if n_devices > 0:
             devs = devs[:n_devices]
@@ -276,11 +292,16 @@ class DeviceExecutor:
         if fn is not None:
             return fn
         do_pack = self.wire_pack
+        do_f32 = self.wire_f32
 
         if self.n_dev == 1:
 
             def pack_step(slabs):
                 q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
+                if do_f32:
+                    # v4 lossless float codec (h5): exact for any bits, no
+                    # raw residual needed
+                    return pack_chunk_v4(q)
                 if not do_pack:
                     return q
                 # v3 (sort-based producer — the scatter pack measured
@@ -294,6 +315,9 @@ class DeviceExecutor:
 
             def pack_local(slabs):
                 q = slabs[0] if n_slabs == 1 else jnp.concatenate(slabs)
+                if do_f32:
+                    buf, used = pack_chunk_v4(q)
+                    return buf, used.reshape(1)
                 if not do_pack:
                     return q
                 # v3 per shard: each chip entropy-packs its own pair range
@@ -305,11 +329,12 @@ class DeviceExecutor:
                 return buf, used.reshape(1), q
 
             in_spec = tuple(P("pairs") for _ in range(n_slabs))
-            out_spec = (
-                P("pairs")
-                if not do_pack
-                else (P("pairs"), P("pairs"), P("pairs"))
-            )
+            if do_f32:
+                out_spec = (P("pairs"), P("pairs"))
+            elif do_pack:
+                out_spec = (P("pairs"), P("pairs"), P("pairs"))
+            else:
+                out_spec = P("pairs")
             fn = jax.jit(
                 shard_map(
                     pack_local,
@@ -387,32 +412,60 @@ class DeviceExecutor:
         for sa in sats:
             sa.copy_to_host_async()
         out = self._get_pack(n_slabs)(slabs)
-        if self.wire_pack:
+        if self.wire_pack or self.wire_f32:
             if self.n_dev == 1:
                 # start the D2H of a PREDICTED prefix immediately — no
                 # length round-trip gates the big transfer; collect fetches
                 # the (rare) tail beyond the prediction separately
-                (buf, used), q = out
-                used.copy_to_host_async()
+                if self.wire_f32:
+                    # v4 payloads are huge (tens of MB/chunk) and the
+                    # codec ratio is modest (~1.16x on noisy-mantissa
+                    # content): the 10% prediction margin would hand back
+                    # most of the compression. Fetch the exact used length
+                    # first — one ~32 ms scalar round-trip per multi-
+                    # second chunk transfer — and ship the exact
+                    # (quantum-rounded) prefix, never a tail.
+                    (buf, _), q = out, None
+                    used = int(np.asarray(out[1]))
+                else:
+                    (buf, used), q = out
+                    used.copy_to_host_async()
                 total = buf.shape[0]
-                pred = _quantize_up(self._predict_used(mb), total)
+                if self.wire_f32:
+                    pred = _quantize_up(used, total)
+                else:
+                    pred = _quantize_up(self._predict_used(mb), total)
                 pref = buf if pred >= total else _prefix_fn(pred)(buf)
                 pref.copy_to_host_async()
                 return [(((buf, used, pref, pred), q), m, mb, sats)]
-            # multi-device v3: per-shard predicted-prefix transfers (each
-            # shard's buffer lives on its own chip; slicing the shard data
-            # directly keeps the transfer chip-local)
-            buf, used, q = out
-            used.copy_to_host_async()
+            # multi-device v3/v4: per-shard predicted-prefix transfers
+            # (each shard's buffer lives on its own chip; slicing the
+            # shard data directly keeps the transfer chip-local)
+            if self.wire_f32:
+                (buf, used), q = out, None
+                used_host = np.asarray(used)  # exact lengths (see above)
+            else:
+                buf, used, q = out
+                used.copy_to_host_async()
+                used_host = None
             shards = self._shard_data(buf)
             total = shards[0].shape[0]
             m_loc = mb // self.n_dev
-            pred = _quantize_up(self._predict_used(m_loc), total)
             prefs = []
-            for sd in shards:
-                pref = sd if pred >= total else _prefix_fn(pred)(sd)
-                pref.copy_to_host_async()
-                prefs.append(pref)
+            if used_host is not None:
+                pred = [
+                    _quantize_up(int(u), total) for u in used_host
+                ]
+                for sd, pr in zip(shards, pred):
+                    pref = sd if pr >= total else _prefix_fn(pr)(sd)
+                    pref.copy_to_host_async()
+                    prefs.append(pref)
+            else:
+                pred = _quantize_up(self._predict_used(m_loc), total)
+                for sd in shards:
+                    pref = sd if pred >= total else _prefix_fn(pred)(sd)
+                    pref.copy_to_host_async()
+                    prefs.append(pref)
             return [(((shards, used, prefs, pred), q), m, mb, sats)]
         else:
             out.copy_to_host_async()
@@ -437,21 +490,26 @@ class DeviceExecutor:
     # second (tail) transfer round-trip, over-prediction only extra bytes.
     _BPP_MARGIN = 1.1
 
-    def _predict_used(self, mb: int) -> int:
-        from denseflow_tpu.wire import _v3_geom, v3_fixed_size
+    def _fixed_size(self, mb: int) -> int:
+        if self.wire_f32:
+            return v4_fixed_size(mb, self.height, self.width)
+        return v3_fixed_size(mb, self.n_chan, self.height, self.width)
 
-        _, _, _, ng, _ = _v3_geom(self.n_chan, self.height, self.width)
-        fixed = v3_fixed_size(mb, self.n_chan, self.height, self.width)
+    def _predict_used(self, mb: int) -> int:
+        # v3 only: v4 (h5) fetches the exact used length before the big
+        # transfer — its payloads are too large and its ratio too tight
+        # for a 10% guess margin (dispatch_chunk)
+        fixed = self._fixed_size(mb)
         bpp = getattr(self, "_bpp_est", None)
         if bpp is None:
+            from denseflow_tpu.wire import _v3_geom
+
+            _, _, _, ng, _ = _v3_geom(self.n_chan, self.height, self.width)
             bpp = self._BPP_INIT_OCCUPANCY * ng
         return int(fixed + self._BPP_MARGIN * bpp * mb)
 
     def _note_used(self, used: int, mb: int) -> None:
-        from denseflow_tpu.wire import v3_fixed_size
-
-        fixed = v3_fixed_size(mb, self.n_chan, self.height, self.width)
-        self._bpp_est = max(used - fixed, 0) / max(mb, 1)
+        self._bpp_est = max(used - self._fixed_size(mb), 0) / max(mb, 1)
 
     def collect_chunk(self, outs: list):
         """Yield (payload, pair_offset, n_pairs) per dispatched chunk.
@@ -459,7 +517,7 @@ class DeviceExecutor:
         h5 -> (m, H, W, 2) float32."""
         for out, m, mb, _sats in outs:
             n_slabs = mb // self.B
-            if not self.wire_pack:
+            if not (self.wire_pack or self.wire_f32):
                 arr = np.asarray(out)
                 WIRE_STATS.add_d2h(arr.nbytes)
                 q = self._deinterleave(arr, n_slabs)[:m]
@@ -477,14 +535,18 @@ class DeviceExecutor:
                         [np.asarray(pref), np.asarray(tail)[: used - pred]]
                     )
                     WIRE_STATS.add_d2h(pred + tail_n)
-                flags, q = unpack_chunk_v3_fast(
-                    arr, mb, self.n_chan, self.height, self.width, EXC_CAP
-                )
-                if not flags[:m].all():
-                    # a pair overflowed the codec's exception channel:
-                    # fetch the exact raw payload kept on device
-                    q = np.asarray(q_dev)
-                    WIRE_STATS.add_d2h(q.nbytes)
+                if self.wire_f32:
+                    q = unpack_chunk_v4(arr, mb, self.height, self.width)
+                else:
+                    flags, q = unpack_chunk_v3_fast(
+                        arr, mb, self.n_chan, self.height, self.width,
+                        EXC_CAP,
+                    )
+                    if not flags[:m].all():
+                        # a pair overflowed the codec's exception channel:
+                        # fetch the exact raw payload kept on device
+                        q = np.asarray(q_dev)
+                        WIRE_STATS.add_d2h(q.nbytes)
                 q = q[:m]
             else:
                 (shards, used_dev, prefs, pred), q_dev = out
@@ -494,20 +556,28 @@ class DeviceExecutor:
                 flags_l, q_l = [], []
                 for r, (sd, pref) in enumerate(zip(shards, prefs)):
                     u = int(used[r])
-                    if u <= pred:
+                    # v4 ships exact per-shard prefixes (pred is a list)
+                    pr = pred[r] if isinstance(pred, list) else pred
+                    if u <= pr:
                         arr = np.asarray(pref)
                         WIRE_STATS.add_d2h(arr.nbytes)
                     else:
-                        tail_n = _quantize_up(u - pred, sd.shape[0] - pred)
-                        tail = _tail_fn(tail_n)(sd, np.int32(pred))
+                        tail_n = _quantize_up(u - pr, sd.shape[0] - pr)
+                        tail = _tail_fn(tail_n)(sd, np.int32(pr))
                         arr = np.concatenate(
-                            [np.asarray(pref), np.asarray(tail)[: u - pred]]
+                            [np.asarray(pref), np.asarray(tail)[: u - pr]]
                         )
-                        WIRE_STATS.add_d2h(pred + tail_n)
-                    f_r, q_r = unpack_chunk_v3_fast(
-                        arr, m_loc, self.n_chan, self.height, self.width,
-                        EXC_CAP,
-                    )
+                        WIRE_STATS.add_d2h(pr + tail_n)
+                    if self.wire_f32:
+                        f_r = np.ones((m_loc,), bool)
+                        q_r = unpack_chunk_v4(
+                            arr, m_loc, self.height, self.width
+                        )
+                    else:
+                        f_r, q_r = unpack_chunk_v3_fast(
+                            arr, m_loc, self.n_chan, self.height,
+                            self.width, EXC_CAP,
+                        )
                     flags_l.append(f_r)
                     q_l.append(q_r)
                 flags = self._deinterleave(np.concatenate(flags_l), n_slabs)

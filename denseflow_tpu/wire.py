@@ -565,6 +565,179 @@ def unpack_chunk_v3(
     return flags, out
 
 
+# ---------------------------------------------------------------------------
+# v4: LOSSLESS float32 flow codec (the h5 wire path)
+# ---------------------------------------------------------------------------
+#
+# The h5 save type ships raw float32 flow (disk contract: reference
+# src/common.cpp:120-150), which made BASELINE config 5 the link-worst
+# configuration (357 MB D2H per 500 pairs). v4 packs the float payload
+# losslessly ON DEVICE:
+#
+#   bitcast f32 -> u32, horizontal delta in bit space (mod 2^32), zigzag,
+#   split into 4 byte planes, and code EVERY plane with sparse groups-of-4:
+#   a 1-bit-per-group occupancy bitmap plus the 4 literal bytes of each
+#   occupied group (sort-compacted, v3's producer pattern). Column 0 of
+#   every row is a raw u32 seed.
+#
+# No modes, no exceptions: dense planes cost 1.031x their raw size, empty
+# planes 0.031x, and decode is exact for ANY bit pattern (wrap-around
+# arithmetic; NaN/Inf safe). Measured on real TVL1 output at 256p the
+# total is ~3.45 B/value = 1.16x — and that is close to the CONTENT's
+# ceiling, not the codec's: the solver's epsilon stop (0.01) leaves
+# ~20 bits/value of convergence noise in the low mantissa, putting the
+# order-0 byte-plane entropy at 2.85 B/value (1.40x max for any order-0
+# coder; zlib-6 on the same payload: 1.135x, BELOW this codec). On
+# genuinely smooth float fields (e.g. converged synthetic content) the
+# same grammar compresses 10x+. See PERFORMANCE.md "h5 wire entropy".
+#
+# Wire layout for (M, H, W, 2) float32, n = W-1, NG = ceil(H*n/4) groups
+# per (pair, component, plane), G = M*NG, BW = ceil(G/8):
+#   counts   8 * u32 LE      occupied-group count per stream (c-major,
+#                            then plane k=0(LSB)..3)
+#   seeds    M*2*H * u32 LE  column 0 of every row, pair-major, u then v
+#   streams  8 x [bitmap BW bytes (LSB-first, pair-major group order),
+#                 4*count literal group bytes (LE u32 per group)]
+# used = fixed + sum(BW + 4*count).
+
+
+def _v4_geom(h: int, w: int) -> Tuple[int, int]:
+    """(n, ng): horizontal deltas per row, groups per (pair, comp, plane)."""
+    n = w - 1
+    return n, (h * n + 3) // 4 if n > 0 else 0
+
+
+def v4_fixed_size(m: int, h: int, w: int) -> int:
+    return 8 * 4 + m * 2 * h * 4
+
+
+def v4_max_size(m: int, h: int, w: int) -> int:
+    """Worst-case buffer bytes (every group of every stream occupied)."""
+    _, ng = _v4_geom(h, w)
+    g = m * ng
+    return v4_fixed_size(m, h, w) + 8 * ((g + 7) // 8 + 4 * g)
+
+
+def _u32_to_le_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """(...,) uint32 -> (..., 4) uint8 little-endian."""
+    return jnp.stack(
+        [((x >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)],
+        axis=-1,
+    )
+
+
+def pack_chunk_v4(flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side lossless pack of (M, H, W, 2) float32 -> (buffer, used).
+
+    buffer is sized `v4_max_size`; only buffer[:used] carries information.
+    Exact for any bit pattern (the transform is bijective mod 2^32)."""
+    m, h, w, _ = flow.shape
+    n, ng = _v4_geom(h, w)
+    x = jnp.moveaxis(flow, -1, 1)  # (m, 2, h, w)
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    seeds = _u32_to_le_bytes(xi[..., 0]).reshape(-1)  # m*2*h*4
+    if n <= 0:
+        buf = jnp.concatenate([jnp.zeros((32,), jnp.uint8), seeds])
+        return buf, jnp.asarray(buf.size, jnp.int32)
+
+    d = xi[..., 1:] - xi[..., :-1]  # u32 wraparound
+    z = (d << 1) ^ jnp.where(
+        (d >> 31) != 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+    )  # zigzag of the signed delta, in u32 arithmetic
+
+    g_tot = m * ng
+    bw = (g_tot + 7) // 8
+    pad = 4 * ng - h * n
+    counts = []
+    sections = []  # (bitmap_bytes, sorted_gwords_bytes) per stream
+    for c in range(2):
+        for k in range(4):
+            p = (z[:, c] >> (8 * k)) & 0xFF  # (m, h, n) u32 in [0,255]
+            flat = p.reshape(m, h * n)
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((m, pad), jnp.uint32)], axis=-1
+                )
+            g4 = flat.reshape(m * ng, 4)
+            gword = (
+                g4[:, 0] | (g4[:, 1] << 8) | (g4[:, 2] << 16)
+                | (g4[:, 3] << 24)
+            )  # LE u32 per group
+            gnz = gword != 0
+            counts.append(jnp.sum(gnz).astype(jnp.uint32))
+            bpad = 8 * bw - g_tot
+            bits = gnz if not bpad else jnp.concatenate(
+                [gnz, jnp.zeros((bpad,), bool)]
+            )
+            b8 = bits.reshape(bw, 8).astype(jnp.int32)
+            bitmap = jnp.sum(
+                b8 << jnp.arange(8, dtype=jnp.int32), axis=-1
+            ).astype(jnp.uint8)
+            # occupied-first stable compaction by sort (v3's producer:
+            # TPU scatters lower near-serially, sorts are parallel)
+            pos = jnp.arange(g_tot, dtype=jnp.uint32)
+            key = jnp.where(gnz, pos, pos + jnp.uint32(g_tot))
+            _, gsorted = jax.lax.sort_key_val(key, gword)
+            sections.append((bitmap, _u32_to_le_bytes(gsorted).reshape(-1)))
+
+    header = _u32_to_le_bytes(jnp.stack(counts)).reshape(-1)
+    fixed = 32 + seeds.size
+    total = fixed + 8 * (bw + 4 * g_tot)
+    buf = jnp.zeros((total,), jnp.uint8)
+    buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+    buf = jax.lax.dynamic_update_slice(buf, seeds, (32,))
+    # write each stream at its running (traced) offset: bitmap, then the
+    # full sorted block — bytes past 4*count are stale garbage that the
+    # NEXT stream's write overwrites (or that lie beyond `used`)
+    off = jnp.int32(fixed)
+    for cnt, (bitmap, gbytes) in zip(counts, sections):
+        buf = jax.lax.dynamic_update_slice(buf, bitmap, (off,))
+        off = off + bw
+        buf = jax.lax.dynamic_update_slice(buf, gbytes, (off,))
+        off = off + 4 * cnt.astype(jnp.int32)
+    return buf, off
+
+
+def unpack_chunk_v4(
+    buf: np.ndarray, m: int, h: int, w: int
+) -> np.ndarray:
+    """Host-side exact inverse of `pack_chunk_v4` on the used prefix.
+
+    Returns (M, H, W, 2) float32, bit-identical to the packed input."""
+    n, ng = _v4_geom(h, w)
+    counts = buf[:32].copy().view(np.uint32)
+    seeds = (
+        buf[32 : 32 + m * 2 * h * 4].copy().view(np.uint32)
+        .reshape(m, 2, h)
+    )
+    if n <= 0:
+        xi = seeds[..., None]
+        return np.moveaxis(xi.view(np.float32), 1, -1).copy()
+    g_tot = m * ng
+    bw = (g_tot + 7) // 8
+    o = 32 + m * 2 * h * 4
+    z = np.zeros((m, 2, h * n), np.uint32)
+    for s in range(8):
+        c, k = divmod(s, 4)
+        cnt = int(counts[s])
+        bits = np.unpackbits(
+            buf[o : o + bw], bitorder="little"
+        )[:g_tot].astype(bool)
+        o += bw
+        gwords = buf[o : o + 4 * cnt].copy().view(np.uint32)
+        o += 4 * cnt
+        plane_g = np.zeros(g_tot, np.uint32)
+        plane_g[bits] = gwords
+        pb = plane_g.view(np.uint8).reshape(m, 4 * ng)[:, : h * n]
+        z[:, c] |= pb.astype(np.uint32) << np.uint32(8 * k)
+    d = (z >> np.uint32(1)) ^ (~(z & np.uint32(1)) + np.uint32(1))
+    cs = np.cumsum(d.reshape(m, 2, h, n), axis=-1, dtype=np.uint32)
+    xi = np.empty((m, 2, h, w), np.uint32)
+    xi[..., 0] = seeds
+    xi[..., 1:] = seeds[..., None] + cs
+    return np.moveaxis(xi.view(np.float32), 1, -1).copy()
+
+
 def unpack_chunk_v3_fast(
     buf: np.ndarray, m: int, c: int, h: int, w: int, exc_cap: int = EXC_CAP
 ) -> Tuple[np.ndarray, np.ndarray]:

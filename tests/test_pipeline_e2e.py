@@ -169,7 +169,11 @@ class TestSaveTypes:
 
         exact, s32 = run(tmp_path / "o32", "f32")
         half, s16 = run(tmp_path / "o16", "f16")
-        assert s16["d2h_bytes"] * 2 == s32["d2h_bytes"]
+        # f16 wire is a raw half-precision transfer; f32 wire is the v4
+        # LOSSLESS pack (round 5) — still more bytes than f16 (the noisy
+        # low-mantissa content packs at ~1.16x, not 2x), but no longer the
+        # raw 2x (the old equality s16*2 == s32 asserted raw f32)
+        assert s16["d2h_bytes"] < s32["d2h_bytes"]
         # f16 has ~3 decimal digits; flow values are O(1)
         assert np.abs(exact - half).max() < 2e-2
 

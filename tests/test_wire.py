@@ -211,6 +211,58 @@ class TestRoundTripV3:
                 assert (q_nat[p] == q[p]).all()
 
 
+class TestRoundTripV4:
+    """v4 LOSSLESS float32 codec (the h5 wire path, round 5): bit-exact
+    for any bit pattern including NaN/Inf/denormals/-0.0."""
+
+    def _roundtrip(self, flow):
+        import jax
+        from denseflow_tpu.wire import (
+            pack_chunk_v4, unpack_chunk_v4, v4_max_size,
+        )
+
+        m, h, w, _ = flow.shape
+        buf, used = jax.jit(pack_chunk_v4)(flow)
+        buf, used = np.asarray(buf), int(used)
+        assert buf.shape == (v4_max_size(m, h, w),)
+        assert used <= buf.shape[0]
+        out = unpack_chunk_v4(buf[:used], m, h, w)
+        assert out.dtype == np.float32 and out.shape == flow.shape
+        assert np.array_equal(
+            flow.view(np.uint32), out.view(np.uint32)
+        ), "v4 must be bit-exact"
+        return used
+
+    def test_noise_round_trips(self, rng):
+        flow = rng.normal(0, 3, (5, 20, 31, 2)).astype(np.float32)
+        self._roundtrip(flow)
+
+    def test_special_values(self, rng):
+        flow = rng.normal(0, 1, (2, 8, 9, 2)).astype(np.float32)
+        flow[0, 0, 0, 0] = np.inf
+        flow[0, 0, 1, 0] = -np.inf
+        flow[0, 1, 0, 1] = np.nan
+        flow[0, 1, 1, 1] = -0.0
+        flow[1, 0, 0, 0] = 1e-42  # denormal
+        flow[1, 0, 1, 0] = np.float32(3.4e38)
+        self._roundtrip(flow)
+
+    def test_single_column(self, rng):
+        flow = rng.normal(0, 2, (3, 6, 1, 2)).astype(np.float32)
+        self._roundtrip(flow)
+
+    def test_constant_field_compresses(self, rng):
+        flow = np.full((4, 32, 48, 2), -2.5, np.float32)
+        used = self._roundtrip(flow)
+        # constant rows: only header+seeds+bitmaps; far below raw
+        assert used < flow.nbytes / 10
+
+    def test_width_not_multiple_of_groups(self, rng):
+        for w in (4, 5, 6, 7):
+            flow = rng.normal(0, 2, (2, 7, w, 2)).astype(np.float32)
+            self._roundtrip(flow)
+
+
 class TestExecutorIntegration:
     def _run(self, wire_pack, save_type="jpg"):
         from denseflow_tpu.executor import DeviceExecutor
@@ -229,16 +281,18 @@ class TestExecutorIntegration:
         )
         return ex.run_chunk(frames, n)
 
-    @pytest.mark.parametrize("save_type", ["jpg", "png"])
+    @pytest.mark.parametrize("save_type", ["jpg", "png", "h5"])
     def test_packed_matches_unpacked(self, save_type):
+        # h5 exercises the v4 float codec (round 5): the wire pack must be
+        # a bit-exact no-op on the emitted float32 datasets
         a = self._run(True, save_type)
         b = self._run(False, save_type)
         for x, y in zip(
             a if isinstance(a, tuple) else (a,),
             b if isinstance(b, tuple) else (b,),
         ):
-            assert x.shape == y.shape
-            assert (x == y).all()
+            assert x.shape == y.shape and x.dtype == y.dtype
+            assert x.tobytes() == y.tobytes()
 
     def test_tail_fetch_on_underprediction(self, monkeypatch):
         # the executor starts the D2H of a PREDICTED prefix at dispatch;
