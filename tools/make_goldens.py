@@ -101,6 +101,55 @@ def cases():
     }
 
 
+def make_real_cases() -> None:
+    """Real-content golden cases (round-5 verdict item 8): DECODED frame
+    pairs of the bench video (MJPG compression artifacts, resize chain —
+    everything the synthetic warps cannot expose), with the independent
+    NumPy oracle as reference flow.
+
+    The bench pan moves the crop window +2 px/frame at 360p, so after the
+    256-short-side INTER_AREA resize the analytic interior flow is
+    (-2 * 341/480, 0) — stored as `gt` (occlusion bands at the left/right
+    borders excluded by the gate's margin, tools/device_goldens.py)."""
+    import cv2
+
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    vid = Path(bench.BENCH_DIR) / "bench.avi"
+    vid.parent.mkdir(exist_ok=True)
+    if not vid.exists():
+        bench._make_video(str(vid))
+    cap = cv2.VideoCapture(str(vid))
+    frames = []
+    for _ in range(420):
+        ok, fr = cap.read()
+        if not ok:
+            break
+        g = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY)
+        frames.append(cv2.resize(g, (341, 256), interpolation=cv2.INTER_AREA))
+    cap.release()
+    gt_x = -2.0 * 341.0 / 480.0
+    for i, t in enumerate((0, 120, 250, 400)):
+        I0, I1 = frames[t], frames[t + 1]
+        oracle = tvl1_numpy(I0.astype(np.float64), I1.astype(np.float64))
+        gt = np.full(oracle.shape, 0, np.float32)
+        gt[..., 0] = gt_x
+        m = 8  # interior margin: dodge the pan's occlusion bands
+        epe = float(
+            np.linalg.norm(
+                oracle[m:-m, m:-m] - gt[m:-m, m:-m], axis=-1
+            ).mean()
+        )
+        np.savez_compressed(
+            GOLDEN / f"real_{i}.npz",
+            I0=I0, I1=I1, gt=gt, oracle=oracle.astype(np.float32),
+            oracle_epe=np.float32(epe),
+        )
+        print(f"real_{i} (frame {t}): oracle interior EPE vs analytic "
+              f"gt = {epe:.4f} px", flush=True)
+
+
 def main() -> None:
     GOLDEN.mkdir(exist_ok=True)
     for name, (seed, fn) in cases().items():
@@ -113,6 +162,7 @@ def main() -> None:
             oracle_epe=np.float32(epe),
         )
         print(f"{name}: oracle mean EPE vs gt = {epe:.4f} px")
+    make_real_cases()
 
 
 if __name__ == "__main__":
