@@ -53,9 +53,11 @@ class TVL1Params:
     # error check cadence: evaluate the epsilon stop every N iterations
     # (1 = OpenCV-exact; N runs at most N-1 harmless extra iterations past
     # convergence while cutting the full-plane reduction cost N-fold).
-    # Measured on v5e at 256p: 16 is ~17% faster than 4 AND lower-EPE
-    # (the extra post-convergence iterations only help).
-    check_every: int = 16
+    # Measured on v5e at 256p (round-5 SOL pass): 24 hits 1765 flows/s on
+    # bench content vs 1470 at 16 — first-block convergence also arms the
+    # warp-level early exit, and 24 lets easy scales clear it — while on
+    # hard mixed-motion content 24 ties 16 (863 vs 872) and 8 loses ~26%.
+    check_every: int = 24
     min_size: int = 16
     # Displacement clamp for the masked-shift warp (TPU-native, gather-free;
     # see ops/warp.py). Flows beyond ±max_disp px at the finest level stop

@@ -238,24 +238,19 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
         gy_ok = row_i() < h - 1
 
         def one_iter(state, with_err: bool, consts):
-            # only 4 planes carried across the iteration loop; fi / the
-            # residual reciprocal / the gradient guard are recomputed
-            # inline (a mul, a reciprocal, a compare per pixel) to keep
-            # the VMEM working set small enough for large tiles
-            I1wx, I1wy, rho_c, grad = consts
+            # only 4 planes carried across the iteration loop; fi / nfi /
+            # the residual reciprocal / the gradient guard are
+            # WARP-CONSTANT and hoisted into warp_body (round-5 SOL pass:
+            # XLA does no loop-invariant motion through lax.while_loop, so
+            # inline they cost ~5 of the iteration's ~70 VPU slots; the 4
+            # extra live planes stay well inside the VMEM budget)
+            I1wx, I1wy, rho_c, fi, nfi, rg_masked = consts
             u1, u2, p11, p12, p21, p22, _ = state
             rho = rho_c + I1wx * u1 + I1wy * u2
-            fi = l_t * grad
-            g = jnp.maximum(grad, _GRAD_EPS)
-            rg = (1.0 / g) if interpret else pl.reciprocal(g)
             mul = jnp.where(
-                rho < -fi,
+                rho < nfi,
                 l_t,
-                jnp.where(
-                    rho > fi,
-                    -l_t,
-                    jnp.where(grad > _GRAD_EPS, -rho * rg, 0.0),
-                ),
+                jnp.where(rho > fi, -l_t, -rho * rg_masked),
             )
             v1 = u1 + mul * I1wx
             v2 = u2 + mul * I1wy
@@ -289,7 +284,13 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, l_t: float, theta: float,
             I1w, I1wx, I1wy = resample3(t1, t1x, t1y, u1, 1)
             grad = I1wx * I1wx + I1wy * I1wy
             rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
-            consts = (I1wx, I1wy, rho_c, grad)
+            fi = l_t * grad
+            g = jnp.maximum(grad, _GRAD_EPS)
+            rg = (1.0 / g) if interpret else pl.reciprocal(g)
+            # fold the grad > eps guard into the reciprocal plane: where
+            # the gradient is ~0 the thresholding step contributes 0
+            rg_masked = jnp.where(grad > _GRAD_EPS, rg, 0.0)
+            consts = (I1wx, I1wy, rho_c, fi, -fi, rg_masked)
 
             def cond(state):
                 n = state[0]
