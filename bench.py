@@ -199,16 +199,20 @@ def bench_link() -> dict:
 
 
 def _mini_link_probe(seed: int, frames: "object" = None) -> dict:
-    """~1 MB same-trial link sample (round-5 verdict item 6: the one-shot
+    """Same-trial link sample (round-5 verdict item 6: the one-shot
     `bench_link` can sample a different tunnel phase than the trial that
     produced the headline — BENCH_r04 predicted 215.6 against a measured
-    317). Fresh random payload per call (np.asarray caches a jax.Array's
+    317). 16 MB payload — the same scale as the pipeline's real ~11 MB
+    chunk transfers, so the flat per-call cost amortizes the way the
+    pipeline amortizes it (roundtrip subtraction was tried and rejected:
+    the flat cost itself swings 27-69 ms call to call, which made a 4 MB
+    probe's corrected rate swing 2x and over-predict). Fresh random payload per call (np.asarray caches a jax.Array's
     host copy, so re-fetching the same array would time nothing)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    n = 1 << 20
+    n = 16 << 20
 
     @jax.jit
     def gen(s):
@@ -216,16 +220,20 @@ def _mini_link_probe(seed: int, frames: "object" = None) -> dict:
             jax.random.key(s), (n,), 0, 256, dtype=jnp.uint8
         )
 
-    x = gen(seed)
+    x = gen(seed)  # dispatched; the tiny roundtrip below also syncs it
+    one = np.zeros(8, np.uint8)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(one))
+    rt = time.perf_counter() - t0
     t0 = time.perf_counter()
     np.asarray(x)
-    out = {"d2h_mbps": round(n / 1e6 / (time.perf_counter() - t0), 1)}
+    dt = max(time.perf_counter() - t0, 1e-3)
+    out = {"d2h_mbps": round(n / 1e6 / dt, 1), "rt_ms": round(rt * 1e3, 1)}
     if frames is not None:
         t0 = time.perf_counter()
         jax.device_put(frames).block_until_ready()
-        out["h2d_mbps_frames"] = round(
-            frames.nbytes / 1e6 / (time.perf_counter() - t0), 1
-        )
+        dt = max(time.perf_counter() - t0, 1e-3)
+        out["h2d_mbps_frames"] = round(frames.nbytes / 1e6 / dt, 1)
     return out
 
 
@@ -248,7 +256,7 @@ def bench_pipeline(pair_batch: int = 16) -> dict:
     # decoded frame sample for the per-trial H2D probes
     cap = cv2.VideoCapture(video)
     probe_frames = []
-    while len(probe_frames) < 24:
+    while len(probe_frames) < 96:
         ok, fr = cap.read()
         if not ok:
             break
