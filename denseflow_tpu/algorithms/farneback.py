@@ -214,6 +214,76 @@ def _level_geometry(h: int, w: int, p: FarnebackParams):
     return out  # coarse first
 
 
+_LEVEL_MATS: dict = {}
+
+
+def _level_matrices(src_h: int, src_w: int, lh: int, lw: int,
+                    ksize: int, sigma: float):
+    """Dense (lh, src_h) / (lw, src_w) operators for one pyramid level's
+    `gaussian blur (reflect101) + bilinear resize` — built once per
+    geometry on the host and applied as two MXU matmuls.
+
+    The XLA shifted-add blur was the dominant remaining Farneback cost
+    after the level loop and poly expansion were fused (round-5 profile:
+    the coarse levels blur the FULL-RES image with 39- and 77-tap
+    kernels, ~16 ms of a 66 ms solve at pair_batch 128). Blur and resize
+    are both linear and separable, so each axis collapses to one small
+    dense matrix — work the MXU does in ~0.1 ms. Exact up to float
+    reassociation (gated by the cv2-oracle fidelity tests)."""
+    key = (src_h, src_w, lh, lw, ksize, round(float(sigma), 6))
+    hit = _LEVEL_MATS.get(key)
+    if hit is not None:
+        return hit
+    g = gaussian_kernel_1d(ksize, sigma).astype(np.float64)
+    c = (ksize - 1) // 2
+
+    def blur_mat(n):
+        Bm = np.zeros((n, n), np.float64)
+        for j, kv in enumerate(g):
+            off = j - c
+            for r in range(n):
+                t = r + off
+                while not 0 <= t <= n - 1:  # reflect101 fold
+                    t = -t if t < 0 else 2 * (n - 1) - t
+                Bm[r, t] += kv
+        return Bm
+
+    def resize_mat(n_out, n_in):
+        if n_out == n_in:
+            return np.eye(n_in)
+        R = np.zeros((n_out, n_in), np.float64)
+        scale = n_in / n_out
+        for o in range(n_out):
+            x = (o + 0.5) * scale - 0.5
+            i0 = int(np.floor(x))
+            frac = x - i0
+            i0c = min(max(i0, 0), n_in - 1)
+            i1c = min(i0c + 1, n_in - 1)
+            if x < 0:
+                frac = 0.0
+            if x > n_in - 1:
+                frac = 1.0
+            R[o, i0c] += 1.0 - frac
+            R[o, i1c] += frac
+        return R
+
+    Mv = jnp.asarray((resize_mat(lh, src_h) @ blur_mat(src_h)).astype(np.float32))
+    Mh = jnp.asarray((resize_mat(lw, src_w) @ blur_mat(src_w)).astype(np.float32))
+    _LEVEL_MATS[key] = (Mv, Mh)
+    return Mv, Mh
+
+
+def _level_image_matmul(I, lh, lw, ksize, sigma):
+    """blur+resize of (B, H, W) via the dense per-axis operators (MXU)."""
+    Mv, Mh = _level_matrices(I.shape[-2], I.shape[-1], lh, lw, ksize, sigma)
+    hi = jnp.einsum(
+        "oh,bhw->bow", Mv, I, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "qw,bow->boq", Mh, hi, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _pallas_mode(p: "FarnebackParams") -> str:
     if p.use_pallas == "auto":
         return "off" if jax.default_backend() == "cpu" else "fused"
@@ -243,22 +313,45 @@ def farneback_flow(
                 jnp.moveaxis(flow, -1, -3), (lh, lw)
             )
             flow = jnp.moveaxis(flow, -3, -1) * (1.0 / p.pyr_scale)
-        gk = gaussian_kernel_1d(ksize, sigma)
-        B0 = sep_filter2d(I0, gk, gk)
-        B1 = sep_filter2d(I1, gk, gk)
-        L0 = resize_bilinear(B0, (lh, lw))
-        L1 = resize_bilinear(B1, (lh, lw))
-        R0 = poly_expand(L0, p.poly_n, p.poly_sigma)
-        R1 = poly_expand(L1, p.poly_n, p.poly_sigma)
+        if mode == "fused":
+            # blur+resize as two dense MXU matmuls (see _level_matrices)
+            L0 = _level_image_matmul(I0, lh, lw, ksize, sigma)
+            L1 = _level_image_matmul(I1, lh, lw, ksize, sigma)
+        else:
+            gk = gaussian_kernel_1d(ksize, sigma)
+            B0 = sep_filter2d(I0, gk, gk)
+            B1 = sep_filter2d(I1, gk, gk)
+            L0 = resize_bilinear(B0, (lh, lw))
+            L1 = resize_bilinear(B1, (lh, lw))
         d_lvl = max(4, int(round(p.max_disp * scale)))
         if mode == "fused":
             from denseflow_tpu.kernels.farneback_fused import (
                 farneback_level_fused_tiled,
+                poly_expand_fused,
+                polyexp_fused_fits,
             )
 
+            if polyexp_fused_fits(lh, lw, p.poly_n):
+                # both images through one fused polyexp call (channel-
+                # first output feeds the level kernel transpose-free); the
+                # XLA conv chain measured ~2/3 of the solve once the level
+                # loop was fused (round-5 profile)
+                nb = L0.shape[0]
+                R = poly_expand_fused(
+                    jnp.concatenate([L0, L1]), p.poly_n, p.poly_sigma,
+                    interpret,
+                )
+                R0cf, R1cf = R[:nb], R[nb:]
+            else:
+                R0cf = jnp.moveaxis(
+                    poly_expand(L0, p.poly_n, p.poly_sigma), -1, -3
+                )
+                R1cf = jnp.moveaxis(
+                    poly_expand(L1, p.poly_n, p.poly_sigma), -1, -3
+                )
             u, v = farneback_level_fused_tiled(
-                jnp.moveaxis(R0, -1, -3),
-                jnp.moveaxis(R1, -1, -3),
+                R0cf,
+                R1cf,
                 flow[..., 0],
                 flow[..., 1],
                 win_size=int(p.win_size),
@@ -269,6 +362,8 @@ def farneback_flow(
             )
             flow = jnp.stack([u, v], axis=-1)
             continue
+        R0 = poly_expand(L0, p.poly_n, p.poly_sigma)
+        R1 = poly_expand(L1, p.poly_n, p.poly_sigma)
         bscale = _border_scale(lh, lw)
         M = update_matrices(R0, R1, flow, bscale, d_lvl)
         if p.stop_eps > 0:

@@ -255,6 +255,166 @@ def farneback_level_fused(
     return u_o[:, :h, :w], v_o[:, :h, :w]
 
 
+def _polyexp_consts(n: int, sigma: float):
+    from denseflow_tpu.algorithms.farneback import _poly_exp_setup
+
+    g, xg, xxg, invG = _poly_exp_setup(n, sigma)
+    return (
+        tuple(float(v) for v in g),
+        tuple(float(v) for v in xg),
+        tuple(float(v) for v in xxg),
+        tuple(tuple(float(v) for v in row) for row in invG),
+    )
+
+
+# Hardware-validated plane ceiling for the polyexp kernel (~12 live
+# planes — lighter than the 30-plane level kernel, so it holds larger
+# planes): the bench level-0 padded plane 272x384 runs on chip. Larger
+# levels fall back to the XLA poly_expand (they are tiled-solve
+# geometries where the level kernel dominates anyway).
+_POLY_MAX_PLANE_PX = 272 * 384
+_POLY_PLANES = 14
+
+
+def _make_polyexp_kernel(lh: int, lw: int, hpp: int, wpp: int,
+                         n: int, sigma: float, interpret: bool):
+    g, xg, xxg, invG = _polyexp_consts(n, sigma)
+    roll = jnp.roll if interpret else pltpu.roll
+    taps = len(g)
+
+    def kernel(ipad_ref, out_ref):
+        I = ipad_ref[0]  # replicate-padded image at [0:lh+2n, 0:lw+2n]
+        # vertical pass: one roll per tap feeds all three projections
+        vg = vxg = vxxg = None
+        for j in range(taps):
+            s = roll(I, (-j) % hpp, 0)
+            tg = jnp.float32(g[j]) * s
+            txg = jnp.float32(xg[j]) * s
+            txxg = jnp.float32(xxg[j]) * s
+            vg = tg if vg is None else vg + tg
+            vxg = txg if vxg is None else vxg + txg
+            vxxg = txxg if vxxg is None else vxxg + txxg
+        # horizontal pass: rolls of each v-plane shared by its projections
+        S1 = Sx = Sxx = None
+        for j in range(taps):
+            s = roll(vg, (-j) % wpp, 1)
+            t1 = jnp.float32(g[j]) * s
+            tx = jnp.float32(xg[j]) * s
+            txx = jnp.float32(xxg[j]) * s
+            S1 = t1 if S1 is None else S1 + t1
+            Sx = tx if Sx is None else Sx + tx
+            Sxx = txx if Sxx is None else Sxx + txx
+        Sy = Sxy = None
+        for j in range(taps):
+            s = roll(vxg, (-j) % wpp, 1)
+            ty = jnp.float32(g[j]) * s
+            txy = jnp.float32(xg[j]) * s
+            Sy = ty if Sy is None else Sy + ty
+            Sxy = txy if Sxy is None else Sxy + txy
+        Syy = None
+        for j in range(taps):
+            t = jnp.float32(g[j]) * roll(vxxg, (-j) % wpp, 1)
+            Syy = t if Syy is None else Syy + t
+        # sparse normal-matrix solve: G couples only the (1, x^2, y^2)
+        # block; x, y, xy are diagonal (algorithms/farneback._poly_exp_setup)
+        ig = invG
+        out_ref[0, 0] = jnp.float32(ig[1][1]) * Sx  # bx
+        out_ref[0, 1] = jnp.float32(ig[2][2]) * Sy  # by
+        out_ref[0, 2] = (
+            jnp.float32(ig[3][0]) * S1
+            + jnp.float32(ig[3][3]) * Sxx
+            + jnp.float32(ig[3][4]) * Syy
+        )  # cxx
+        out_ref[0, 3] = (
+            jnp.float32(ig[4][0]) * S1
+            + jnp.float32(ig[4][3]) * Sxx
+            + jnp.float32(ig[4][4]) * Syy
+        )  # cyy
+        out_ref[0, 4] = jnp.float32(ig[5][5]) * Sxy  # cxy
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "sigma", "interpret")
+)
+def poly_expand_fused(
+    img: jnp.ndarray, n: int, sigma: float, interpret: bool = False
+) -> jnp.ndarray:
+    """(B, H, W) float32 -> (B, 5, H, W) polynomial-expansion coefficients
+    (bx, by, cxx, cyy, cxy) — the Pallas path of
+    algorithms/farneback.poly_expand, channel-FIRST so the level kernel
+    consumes it without a transpose.
+
+    The XLA conv chain (9 conv1d passes + stack + einsum + moveaxis per
+    image) measured ~2/3 of the whole Farneback solve after the level
+    loop was fused (round-5 profile); here the separable Gaussian-weighted
+    projections are 4x11 shared in-VMEM rolls on a reflect101-padded
+    plane, and the 6x6 normal solve collapses to its sparse structure.
+    Falls back to `None` (caller uses XLA) when the padded plane exceeds
+    the hardware-validated ceiling."""
+    b, h, w = img.shape
+    hpad = h + 2 * n
+    wpad = w + 2 * n
+    hpp = ((hpad + 7) // 8) * 8
+    wpp = ((wpad + 127) // 128) * 128
+    # REPLICATE borders: poly_expand's conv1d passes use border="replicate"
+    # (OpenCV's FarnebackPolyExp border handling), not reflect101
+    ipad = jnp.pad(img, [(0, 0), (n, n), (n, n)], mode="edge")
+    ipad = jnp.pad(ipad, [(0, 0), (0, hpp - hpad), (0, wpp - wpad)])
+
+    if b > _MAX_GRID_BATCH:
+        k = _MAX_GRID_BATCH
+        pad = (-b) % k
+        if pad:
+            ipad = jnp.concatenate(
+                [ipad, jnp.repeat(ipad[-1:], pad, axis=0)]
+            )
+        stacked = ipad.reshape((-1, k) + ipad.shape[1:])
+        out = jax.lax.map(
+            lambda x: _polyexp_call(x, h, w, hpp, wpp, n, sigma, interpret),
+            stacked,
+        )
+        return out.reshape((-1,) + out.shape[2:])[:b, :, :h, :w]
+    return _polyexp_call(ipad, h, w, hpp, wpp, n, sigma, interpret)[
+        :, :, :h, :w
+    ]
+
+
+def _polyexp_call(ipad, h, w, hpp, wpp, n, sigma, interpret):
+    b = ipad.shape[0]
+    kernel = _make_polyexp_kernel(h, w, hpp, wpp, n, float(sigma), interpret)
+    spec_in = pl.BlockSpec(
+        (1, hpp, wpp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec(
+        (1, 5, hpp, wpp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_in],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, 5, hpp, wpp), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=150 * b * hpp * wpp,
+            bytes_accessed=6 * b * hpp * wpp * 4,
+            transcendentals=0,
+        ),
+    )(ipad)
+
+
+def polyexp_fused_fits(h: int, w: int, n: int) -> bool:
+    hpp = ((h + 2 * n + 7) // 8) * 8
+    wpp = ((w + 2 * n + 127) // 128) * 128
+    return (
+        hpp * wpp <= _POLY_MAX_PLANE_PX
+        and _POLY_PLANES * hpp * wpp * 4 <= 14 * 1024 * 1024
+        and min(h, w) > n  # jnp.pad reflect needs pad < extent
+    )
+
+
 def farneback_level_fused_tiled(
     R0: jnp.ndarray,
     R1: jnp.ndarray,
