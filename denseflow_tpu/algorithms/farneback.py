@@ -267,8 +267,10 @@ def _level_matrices(src_h: int, src_w: int, lh: int, lw: int,
             R[o, i1c] += frac
         return R
 
-    Mv = jnp.asarray((resize_mat(lh, src_h) @ blur_mat(src_h)).astype(np.float32))
-    Mh = jnp.asarray((resize_mat(lw, src_w) @ blur_mat(src_w)).astype(np.float32))
+    # cache NUMPY arrays: jnp constants made during a jit trace are
+    # tracers, and caching those across calls leaks them
+    Mv = (resize_mat(lh, src_h) @ blur_mat(src_h)).astype(np.float32)
+    Mh = (resize_mat(lw, src_w) @ blur_mat(src_w)).astype(np.float32)
     _LEVEL_MATS[key] = (Mv, Mh)
     return Mv, Mh
 
@@ -276,6 +278,7 @@ def _level_matrices(src_h: int, src_w: int, lh: int, lw: int,
 def _level_image_matmul(I, lh, lw, ksize, sigma):
     """blur+resize of (B, H, W) via the dense per-axis operators (MXU)."""
     Mv, Mh = _level_matrices(I.shape[-2], I.shape[-1], lh, lw, ksize, sigma)
+    Mv, Mh = jnp.asarray(Mv), jnp.asarray(Mh)
     hi = jnp.einsum(
         "oh,bhw->bow", Mv, I, precision=jax.lax.Precision.HIGHEST
     )

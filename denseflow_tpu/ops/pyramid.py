@@ -13,7 +13,7 @@ from typing import List, Tuple
 
 import jax.numpy as jnp
 
-from denseflow_tpu.ops.resize import resize_bilinear
+from denseflow_tpu.ops.resize import resize_bilinear_mm
 
 
 def pyramid_shapes(
@@ -41,5 +41,7 @@ def build_pyramid(img: jnp.ndarray, shapes: List[Tuple[int, int]]) -> List[jnp.n
     """
     levels = [img.astype(jnp.float32)]
     for hw in shapes[1:]:
-        levels.append(resize_bilinear(levels[-1], hw))
+        # dense-matmul resize (MXU): TPU gathers serialize on the solver's
+        # hot path; sampling rule identical (ops/resize.resize_bilinear_mm)
+        levels.append(resize_bilinear_mm(levels[-1], hw))
     return levels

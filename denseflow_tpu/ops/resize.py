@@ -84,6 +84,64 @@ def resize_bilinear(img: jnp.ndarray, new_hw: Tuple[int, int]) -> jnp.ndarray:
     return left * (1.0 - fx) + right * fx
 
 
+_RESIZE_MATS: dict = {}
+
+
+def _resize_axis_matrix(n_out: int, n_in: int):
+    """Dense (n_out, n_in) operator equal to one axis of
+    `resize_bilinear` (same half-pixel-center + clamping rule)."""
+    import numpy as np
+
+    key = (n_out, n_in)
+    hit = _RESIZE_MATS.get(key)
+    if hit is not None:
+        return hit
+    R = np.zeros((n_out, n_in), np.float64)
+    if n_out == n_in:
+        R = np.eye(n_in)
+    else:
+        scale = n_in / n_out
+        for o in range(n_out):
+            x = (o + 0.5) * scale - 0.5
+            i0 = int(np.floor(x))
+            frac = x - i0
+            i0c = min(max(i0, 0), n_in - 1)
+            i1c = min(i0c + 1, n_in - 1)
+            if x < 0:
+                frac = 0.0
+            if x > n_in - 1:
+                frac = 1.0
+            R[o, i0c] += 1.0 - frac
+            R[o, i1c] += frac
+    # cache the NUMPY array: a jnp constant materialized during a jit
+    # trace is a tracer, and caching it across calls leaks it
+    m = R.astype(np.float32)
+    _RESIZE_MATS[key] = m
+    return m
+
+
+def resize_bilinear_mm(img: jnp.ndarray, new_hw: Tuple[int, int]) -> jnp.ndarray:
+    """`resize_bilinear` as two dense per-axis matmuls (MXU path).
+
+    Identical sampling rule; summation is reassociated (matmul
+    accumulation vs two-tap lerp), so results differ from the take-based
+    form only in float rounding. Used on the solvers' hot paths — TPU
+    gathers serialize where a (n_out, n_in) matmul is near-free on the
+    MXU (round-5 Farneback profile: the level blur+resize chains cost
+    more than the fused solver kernels)."""
+    new_h, new_w = new_hw
+    src_h, src_w = img.shape[-2], img.shape[-1]
+    if (src_h, src_w) == (new_h, new_w):
+        return img.astype(jnp.float32)
+    x = img.astype(jnp.float32)
+    Mv = jnp.asarray(_resize_axis_matrix(new_h, src_h))
+    Mh = jnp.asarray(_resize_axis_matrix(new_w, src_w))
+    x = jnp.einsum("oh,...hw->...ow", Mv, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("qw,...ow->...oq", Mh, x,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def resize_bilinear_u8(img: jnp.ndarray, new_hw: Tuple[int, int]) -> jnp.ndarray:
     """uint8 resize with round-half-away rounding (cv2-close; ±1 LSB)."""
     out = resize_bilinear(img.astype(jnp.float32), new_hw)
@@ -97,5 +155,5 @@ def scale_flow_up(flow: jnp.ndarray, new_hw: Tuple[int, int], factor: float) -> 
     to the finer grid and multiply by 1/scaleStep.
     flow: (..., 2, H, W) -> (..., 2, new_h, new_w).
     """
-    up = resize_bilinear(flow, new_hw)
+    up = resize_bilinear_mm(flow, new_hw)
     return up * jnp.float32(factor)
