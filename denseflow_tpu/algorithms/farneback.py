@@ -229,7 +229,13 @@ def _level_matrices(src_h: int, src_w: int, lh: int, lw: int,
     kernels, ~16 ms of a 66 ms solve at pair_batch 128). Blur and resize
     are both linear and separable, so each axis collapses to one small
     dense matrix — work the MXU does in ~0.1 ms. Exact up to float
-    reassociation (gated by the cv2-oracle fidelity tests)."""
+    reassociation (gated by the cv2-oracle fidelity tests). CAVEAT: XLA
+    tiles matmuls by batch shape, so multi-DEVICE Farneback runs (which
+    solve B/N-pair slabs) agree with single-device runs within the
+    solver's epsilon ball rather than byte-for-byte — the same contract
+    as the h5 float path (test_sharding's h5 note); TVL1/Brox keep exact
+    byte identity (their pyramid deliberately stays take-based,
+    ops/pyramid.build_pyramid)."""
     key = (src_h, src_w, lh, lw, ksize, round(float(sigma), 6))
     hit = _LEVEL_MATS.get(key)
     if hit is not None:

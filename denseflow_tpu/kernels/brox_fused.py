@@ -145,6 +145,12 @@ def _make_kernel(h: int, w: int, hp: int, wp: int, alpha: float, gamma: float,
                 ru = 1.0 / denom_u if interpret else pl.reciprocal(denom_u)
                 rv = 1.0 / denom_v if interpret else pl.reciprocal(denom_v)
 
+                # NOTE (round 5): hoisting the jacobi-constant u/v part of
+                # the laplacian (lap(U) = lap_c + sum w*shift(du)) was
+                # tried and REVERTED: it measured 2.5% SLOWER on chip (+2
+                # live planes in a kernel ~100 KB from the scoped-VMEM
+                # limit) and made interpret-mode results batch-shape-
+                # dependent, breaking the slab byte-identity contract.
                 def jacobi_body(_, duv2):
                     du, dv = duv2
                     U = u + du

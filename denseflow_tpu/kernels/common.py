@@ -80,7 +80,13 @@ def make_plane_ops(h: int, w: int, hp: int, wp: int, interpret: bool):
         return lo, hi
 
     def shift(p, k: int, axis: int):
-        """shift(p, k)[y] = p[clamp(y+k, 0, n-1)] with n the REAL extent."""
+        """shift(p, k)[y] = p[clamp(y+k, 0, n-1)] with n the REAL extent.
+
+        Kept as the two-select nested-where form on purpose (round 5): a
+        sign-specialized single select measured NO gain on chip (the
+        second select fuses into the roll for free) and its different
+        fusion shape made interpret-mode results batch-size-dependent,
+        breaking the slab byte-identity contract."""
         if k == 0:
             return p
         n = h if axis == 0 else w

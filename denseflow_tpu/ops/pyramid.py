@@ -13,7 +13,7 @@ from typing import List, Tuple
 
 import jax.numpy as jnp
 
-from denseflow_tpu.ops.resize import resize_bilinear_mm
+from denseflow_tpu.ops.resize import resize_bilinear
 
 
 def pyramid_shapes(
@@ -41,7 +41,12 @@ def build_pyramid(img: jnp.ndarray, shapes: List[Tuple[int, int]]) -> List[jnp.n
     """
     levels = [img.astype(jnp.float32)]
     for hw in shapes[1:]:
-        # dense-matmul resize (MXU): TPU gathers serialize on the solver's
-        # hot path; sampling rule identical (ops/resize.resize_bilinear_mm)
-        levels.append(resize_bilinear_mm(levels[-1], hw))
+        # take-based on purpose: the dense-matmul resize (resize_bilinear_mm)
+        # was tried here round 5 and REVERTED — XLA tiles the matmul
+        # differently per batch shape, so per-device-count accumulation
+        # order diverges and the multi-device byte-identity contract broke
+        # (test_sharding caught 0.04% of pixels drifting past the epsilon
+        # ball). The elementwise 2-tap form is batch-shape-invariant, and
+        # the measured win was only ~2% on TVL1.
+        levels.append(resize_bilinear(levels[-1], hw))
     return levels

@@ -155,5 +155,8 @@ def scale_flow_up(flow: jnp.ndarray, new_hw: Tuple[int, int], factor: float) -> 
     to the finer grid and multiply by 1/scaleStep.
     flow: (..., 2, H, W) -> (..., 2, new_h, new_w).
     """
-    up = resize_bilinear_mm(flow, new_hw)
+    # take-based (NOT resize_bilinear_mm): byte-identity across device
+    # counts requires batch-shape-invariant float ordering (see
+    # ops/pyramid.build_pyramid)
+    up = resize_bilinear(flow, new_hw)
     return up * jnp.float32(factor)
