@@ -54,7 +54,7 @@ from denseflow_tpu.wire import (
     pack_chunk_v3_sorted,
     pack_chunk_v4,
     unpack_chunk_v3_fast,
-    unpack_chunk_v4,
+    unpack_chunk_v4_fast,
     v3_fixed_size,
     v4_fixed_size,
 )
@@ -536,7 +536,7 @@ class DeviceExecutor:
                     )
                     WIRE_STATS.add_d2h(pred + tail_n)
                 if self.wire_f32:
-                    q = unpack_chunk_v4(arr, mb, self.height, self.width)
+                    q = unpack_chunk_v4_fast(arr, mb, self.height, self.width)
                 else:
                     flags, q = unpack_chunk_v3_fast(
                         arr, mb, self.n_chan, self.height, self.width,
@@ -570,7 +570,7 @@ class DeviceExecutor:
                         WIRE_STATS.add_d2h(pr + tail_n)
                     if self.wire_f32:
                         f_r = np.ones((m_loc,), bool)
-                        q_r = unpack_chunk_v4(
+                        q_r = unpack_chunk_v4_fast(
                             arr, m_loc, self.height, self.width
                         )
                     else:

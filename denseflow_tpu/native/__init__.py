@@ -79,6 +79,13 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int, ctypes.c_int, u8p, u8p, ctypes.c_int,
                 ]
                 fn.restype = ctypes.c_int
+        if hasattr(lib, "df_wire_unpack_v4"):
+            fn = lib.df_wire_unpack_v4
+            fn.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            fn.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -186,6 +193,29 @@ def wire_unpack_v3(
     if rc != 0:
         raise RuntimeError("native wire v3 unpack failed")
     return flags.astype(bool), q
+
+
+def has_wire_v4() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_wire_unpack_v4")
+
+
+def wire_unpack_v4(
+    buf: np.ndarray, m: int, h: int, w: int, n_threads: int = 0
+) -> np.ndarray:
+    """Decode a wire.py v4 (lossless float32) buffer -> (M, H, W, 2) f32."""
+    lib = _load()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty((m, h, w, 2), np.float32)
+    rc = lib.df_wire_unpack_v4(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads or DEFAULT_THREADS,
+    )
+    if rc != 0:
+        raise RuntimeError("native wire v4 unpack failed")
+    return out
 
 
 def write_png_batch(

@@ -199,4 +199,116 @@ int df_wire_unpack_v3(const uint8_t* buf, int m, int c, int h, int w,
     return 0;
 }
 
+// v4 LOSSLESS float32 decoder (wire.py::unpack_chunk_v4). Layout:
+//   counts  8 * u32 LE        occupied-group count per stream
+//   seeds   m*2*h * u32 LE    column 0, pair-major, u then v
+//   streams 8 x [bitmap ceil(m*ng/8) bytes LSB-first, 4*count literal
+//                group bytes]  (c-major then plane k=0..3; within a
+//                stream, groups are pair-major: pair p owns
+//                [p*ng, (p+1)*ng))
+// out: (m, h, w, 2) float32 (little-endian host assumed, as in wire.py).
+// The NumPy decode measured 0.6-1.0 s per 128-pair 256p chunk — enough
+// to bind the h5 path on fast link phases; this pass threads over pairs.
+int df_wire_unpack_v4(const uint8_t* buf, int m, int h, int w,
+                      float* out, int n_threads) {
+    const int n = w - 1;
+    const size_t seeds_off = 32;
+    const size_t hn = (size_t)h * (n > 0 ? n : 0);
+    if (n <= 0) {
+        parallel_pairs(m, n_threads, [&](int p) {
+            for (int c = 0; c < 2; ++c) {
+                const uint8_t* sp =
+                    buf + seeds_off + ((size_t)(p * 2 + c) * h) * 4;
+                for (int y = 0; y < h; ++y) {
+                    uint32_t v;
+                    memcpy(&v, sp + 4 * (size_t)y, 4);
+                    memcpy(out + ((size_t)p * h + y) * 2 + c, &v, 4);
+                }
+            }
+        });
+        return 0;
+    }
+    const size_t ng = (hn + 3) / 4;       // groups per (pair, comp, plane)
+    const size_t g_tot = (size_t)m * ng;  // groups per stream
+    const size_t bw = (g_tot + 7) / 8;    // bitmap bytes per stream
+    uint32_t counts[8];
+    memcpy(counts, buf, 32);
+
+    // per-stream layout: bitmap base, codes base, and per-pair occupied-
+    // group prefix (bit count before pair p's group range)
+    const uint8_t* bitmaps[8];
+    const uint8_t* codes[8];
+    std::vector<uint32_t> prefix((size_t)8 * m);
+    {
+        size_t o = seeds_off + (size_t)m * 2 * h * 4;
+        for (int s = 0; s < 8; ++s) {
+            bitmaps[s] = buf + o;
+            o += bw;
+            codes[s] = buf + o;
+            o += 4 * (size_t)counts[s];
+            const uint8_t* bm = bitmaps[s];
+            uint32_t acc = 0;
+            size_t bit = 0;  // cursor
+            for (int p = 0; p < m; ++p) {
+                prefix[(size_t)s * m + p] = acc;
+                size_t end = (size_t)(p + 1) * ng;
+                // unaligned head
+                while (bit < end && (bit & 7)) {
+                    acc += (bm[bit >> 3] >> (bit & 7)) & 1;
+                    ++bit;
+                }
+                while (bit + 8 <= end) {
+                    acc += __builtin_popcount(bm[bit >> 3]);
+                    bit += 8;
+                }
+                while (bit < end) {
+                    acc += (bm[bit >> 3] >> (bit & 7)) & 1;
+                    ++bit;
+                }
+            }
+        }
+    }
+
+    std::atomic<int> bad(0);
+    parallel_pairs(m, n_threads, [&](int p) {
+        std::vector<uint32_t> z(hn);
+        for (int c = 0; c < 2; ++c) {
+            std::fill(z.begin(), z.end(), 0u);
+            for (int k = 0; k < 4; ++k) {
+                const int s = c * 4 + k;
+                const uint8_t* bm = bitmaps[s];
+                const uint8_t* cp =
+                    codes[s] + 4 * (size_t)prefix[(size_t)s * m + p];
+                const size_t g0 = (size_t)p * ng;
+                const int shift = 8 * k;
+                for (size_t g = 0; g < ng; ++g) {
+                    const size_t bit = g0 + g;
+                    if (!((bm[bit >> 3] >> (bit & 7)) & 1)) continue;
+                    const size_t base = 4 * g;
+                    const size_t lim = hn - base < 4 ? hn - base : 4;
+                    for (size_t j = 0; j < lim; ++j)
+                        z[base + j] |= (uint32_t)cp[j] << shift;
+                    cp += 4;
+                }
+            }
+            const uint8_t* sp =
+                buf + seeds_off + ((size_t)(p * 2 + c) * h) * 4;
+            for (int y = 0; y < h; ++y) {
+                uint32_t cur;
+                memcpy(&cur, sp + 4 * (size_t)y, 4);
+                float* orow = out + (((size_t)p * h + y) * w) * 2 + c;
+                memcpy(orow, &cur, 4);
+                const uint32_t* zr = z.data() + (size_t)y * n;
+                for (int x = 0; x < n; ++x) {
+                    const uint32_t zz = zr[x];
+                    const uint32_t d = (zz >> 1) ^ (~(zz & 1u) + 1u);
+                    cur += d;
+                    memcpy(orow + 2 * (size_t)(x + 1), &cur, 4);
+                }
+            }
+        }
+    });
+    return bad.load();
+}
+
 }  // extern "C"

@@ -738,6 +738,21 @@ def unpack_chunk_v4(
     return np.moveaxis(xi.view(np.float32), 1, -1).copy()
 
 
+def unpack_chunk_v4_fast(
+    buf: np.ndarray, m: int, h: int, w: int
+) -> np.ndarray:
+    """`unpack_chunk_v4` through the native C++ tier when built (threaded
+    over pairs, ~10x the NumPy pass), NumPy otherwise."""
+    try:
+        from denseflow_tpu import native
+
+        if native.available() and native.has_wire_v4():
+            return native.wire_unpack_v4(buf, m, h, w)
+    except Exception:
+        pass
+    return unpack_chunk_v4(buf, m, h, w)
+
+
 def unpack_chunk_v3_fast(
     buf: np.ndarray, m: int, c: int, h: int, w: int, exc_cap: int = EXC_CAP
 ) -> Tuple[np.ndarray, np.ndarray]:
