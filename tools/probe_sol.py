@@ -5,10 +5,11 @@ bench_device_only methodology (on-device checksum, best-of-N), across
 configs that isolate where cycles go:
 
   * default            — eps early-exit active (the product config);
-  * full budget        — check_every=300: every warp runs all 300
-                         iterations (the reference's nominal workload);
-  * warp sweep only    — iterations=1: pyramid + 5 warps, no fixed point;
-  * single warp        — warps=1, full 300-iteration budget at each scale.
+  * full budget        — eps=0: every warp runs all 300 iterations (the
+                         reference's nominal workload; eps=0 is required —
+                         see the in-code note on the warp-level exit);
+  * single warp        — eps=0, warps=1;
+  * sweeps only        — eps=0, iterations=1 (one check_every block).
 
 From (full budget, warp sweep only) the per-iteration cost falls out, and
 with the kernel's ops/px/iteration count that gives achieved VPU ops/s to
@@ -72,41 +73,47 @@ def main():
     px = sum(h * w for h, w in shapes)
     print(f"pyramid {shapes}, {px} px/warp-iteration-sweep total")
 
-    r_def = bench_cfg("default (eps exit, ce=16)", p, I0, I1, B)
+    # NOTE: disabling the epsilon exit requires eps=0, not just a large
+    # check_every — with eps > 0 a warp whose FIRST check block converges
+    # still arms the warp-level early exit and skips the remaining warps
+    # (the first version of this probe missed that and reported an
+    # impossible >100% of roofline).
+    r_def = bench_cfg("default (eps exit)", p, I0, I1, B)
     r_full = bench_cfg(
-        "full budget (ce=300, no eps exit)",
-        TVL1Params(check_every=300), I0, I1, B,
-    )
-    r_sweep = bench_cfg(
-        "warp sweeps only (iterations=1)",
-        TVL1Params(iterations=1), I0, I1, B,
+        "TRUE full budget (eps=0, 5x300)",
+        TVL1Params(epsilon=0.0, check_every=300), I0, I1, B,
     )
     r_w1 = bench_cfg(
-        "single warp (warps=1, ce=300)",
-        TVL1Params(warps=1, check_every=300), I0, I1, B,
+        "single warp (eps=0, 1x300)",
+        TVL1Params(epsilon=0.0, warps=1, check_every=300), I0, I1, B,
+    )
+    ce_blk = TVL1Params().check_every  # iterations=1 runs ONE ce block
+    r_sweep = bench_cfg(
+        f"sweeps only (eps=0, iterations=1->{ce_blk})",
+        TVL1Params(epsilon=0.0, iterations=1), I0, I1, B,
     )
 
-    # per-iteration cost from the full-budget vs sweep-only difference
-    it_full = p.iterations * p.warps  # 1500 iteration-sweeps over pyramid
-    t_full = 1.0 / r_full
-    t_sweep = 1.0 / r_sweep
-    t_iter = (t_full - t_sweep) / it_full  # s per iteration per pair
+    # model t = C + W*(S + I*t_it); iterations=1 still runs one ce-block
+    # (check_every iterations: the while body advances in ce-sized steps)
+    t_full, t_w1, t_sweep = 1.0 / r_full, 1.0 / r_w1, 1.0 / r_sweep
+    w_, it_ = p.warps, p.iterations
+    s_plus = (t_full - t_w1) / (w_ - 1)          # S + 300*t_it
+    c_fix = t_w1 - s_plus                         # C
+    # sweeps row: C + W*(S + ce_blk*t_it) = t_sweep
+    t_it = (w_ * s_plus - (t_sweep - c_fix)) / (w_ * (it_ - ce_blk))
+    s_warp = s_plus - it_ * t_it
     ops_px = 66  # counted from kernels/tvl1_fused.one_iter (PERFORMANCE.md)
-    vpu_ops = px * ops_px / max(t_iter, 1e-12)
+    vpu_ops = px * ops_px / max(t_it, 1e-12)
     # v5e VPU: (8,128) lanes x 4 ALUs x ~0.94 GHz
     peak = 8 * 128 * 4 * 0.94e9
-    print(f"\nper-pair full-budget wall     {t_full*1e3:7.1f} ms")
-    print(f"per-pair sweeps-only wall     {t_sweep*1e3:7.1f} ms")
-    print(f"=> per-iteration-sweep        {t_iter*1e6:7.2f} us "
-          f"({px} px, {ops_px} ops/px)")
-    print(f"achieved VPU rate             {vpu_ops/1e12:7.2f} Tops/s")
+    print(f"\nmodel: C {c_fix*1e3:.2f} ms  S {s_warp*1e3:.3f} ms/warp  "
+          f"t_it {t_it*1e6:.2f} us/iteration-sweep ({px} px)")
+    print(f"achieved VPU rate             {vpu_ops/1e12:7.2f} Tops/s "
+          f"({ops_px} essential ops/px)")
     print(f"v5e VPU roofline              {peak/1e12:7.2f} Tops/s "
           f"(8x128 lanes x 4 ALUs x 0.94 GHz)")
     print(f"fraction of roofline          {vpu_ops/peak:7.1%}")
-    print(f"eps-exit speedup vs budget    {r_def/r_full:7.2f}x "
-          f"(implied executed iteration fraction "
-          f"{(1/r_def - t_sweep)/(1/r_full - t_sweep):.2%})")
-    print(f"single-warp/full-warp ratio   {r_w1/r_full:7.2f}x")
+    print(f"eps-exit speedup vs budget    {r_def/r_full:7.2f}x")
 
 
 if __name__ == "__main__":
