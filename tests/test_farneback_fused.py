@@ -172,3 +172,32 @@ class TestFullFlow:
         core = flow[m:-m, m:-m]
         epe = np.sqrt((core[..., 0] - dx) ** 2 + (core[..., 1] - dy) ** 2)
         assert epe.mean() < 0.2, epe.mean()
+
+
+class TestPolyExpandFused:
+    def test_matches_xla_poly_expand(self):
+        """round 5: the fused VMEM poly expansion must match the XLA conv
+        chain (incl. the REPLICATE border — the round's one real bug was
+        padding with reflect101 here) on direct and slab-path batches."""
+        import jax.numpy as jnp
+
+        from denseflow_tpu.kernels.farneback_fused import (
+            _MAX_GRID_BATCH,
+            poly_expand_fused,
+        )
+
+        rng = np.random.default_rng(7)
+        for b, h, w in [(2, 40, 56), (_MAX_GRID_BATCH + 2, 24, 40)]:
+            img = jnp.asarray(
+                rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+            )
+            ref = np.moveaxis(
+                np.asarray(poly_expand(img, P.poly_n, P.poly_sigma)), -1, 1
+            )
+            got = np.asarray(
+                poly_expand_fused(
+                    img, P.poly_n, P.poly_sigma, interpret=True
+                )
+            )
+            d = np.abs(ref - got)
+            assert d.max() < 1e-3 and d.mean() < 1e-5, (b, d.max())

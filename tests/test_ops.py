@@ -205,3 +205,44 @@ class TestShiftWarp:
         for i in range(3):
             one = np.asarray(warp_shift(imgs[i], u, v, max_disp=4, impl="shift"))
             np.testing.assert_allclose(stacked[i], one, atol=1e-6)
+
+
+class TestMatmulResize:
+    """round 5: resize/blur as dense per-axis MXU operators must equal
+    the take-based forms up to float reassociation."""
+
+    def test_resize_mm_matches_take(self, rng):
+        import jax.numpy as jnp
+
+        from denseflow_tpu.ops.resize import (
+            resize_bilinear,
+            resize_bilinear_mm,
+        )
+
+        for (h, w, nh, nw) in [(37, 53, 21, 29), (16, 24, 31, 45),
+                               (40, 56, 40, 29)]:
+            x = jnp.asarray(rng.normal(0, 5, (2, h, w)).astype(np.float32))
+            a = np.asarray(resize_bilinear(x, (nh, nw)))
+            b = np.asarray(resize_bilinear_mm(x, (nh, nw)))
+            assert np.abs(a - b).max() < 1e-4, (h, w, nh, nw)
+
+    def test_level_matmul_matches_blur_resize(self, rng):
+        import jax.numpy as jnp
+
+        from denseflow_tpu.algorithms.farneback import _level_image_matmul
+        from denseflow_tpu.ops.filters import (
+            gaussian_kernel_1d,
+            sep_filter2d,
+        )
+        from denseflow_tpu.ops.resize import resize_bilinear
+
+        h, w = 48, 64
+        x = jnp.asarray(rng.normal(0, 50, (2, h, w)).astype(np.float32))
+        for (lh, lw, ksize, sigma) in [(24, 32, 9, 1.5), (12, 16, 17, 3.5),
+                                       (48, 64, 3, 0.0)]:
+            gk = gaussian_kernel_1d(ksize, sigma)
+            ref = np.asarray(
+                resize_bilinear(sep_filter2d(x, gk, gk), (lh, lw))
+            )
+            got = np.asarray(_level_image_matmul(x, lh, lw, ksize, sigma))
+            assert np.abs(ref - got).max() < 2e-3, (lh, lw, ksize)
